@@ -1,0 +1,158 @@
+"""CDC engine orchestrator: epoch-at-a-time apply with exactly-once commit.
+
+The lifecycle (SURVEY.md §3.1 graft mapping): change tail → per epoch:
+LSN dedup → latest-per-key reduce → partition-pruned MERGE → atomic
+commit (data + schema + epoch marker in one rename) → metrics row.
+Re-delivered epochs are detected from the snapshot's committed-epoch set
+and skipped (idempotent). Resume = replay; committed epochs no-op, so a
+kill at any point between epochs (or between data write and pointer
+rename) converges to the identical final state.
+
+Reference analog: the orchestrator loop over selected sources with
+per-source failure isolation (``/root/reference/etl/run.py:1-3``) and
+whole-pipeline re-run idempotence.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession, types as T
+
+from .icelite import IceliteTable
+from .metrics import write_epoch_metrics
+from .operators.dedup import reduce_batch
+from .operators.merge import apply_delta_epoch, merge_epoch
+from .schema import TRANSCRIPT
+
+_EPOCH_DIR = re.compile(r"^epoch=(\d+)$")
+
+
+def list_epochs(events_dir: str) -> list[int]:
+    out = []
+    for d in os.listdir(events_dir):
+        m = _EPOCH_DIR.match(d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+class CDCEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        payload_schema: T.StructType = TRANSCRIPT,
+        n_buckets: int = 32,
+        quarantine: bool = True,
+        mode: str = "mor",
+        compact_every: int | None = None,
+        max_deltas_per_bucket: int = 16,
+    ):
+        """``mode`` picks the apply strategy (both yield identical final
+        state; both are tested against the same oracle):
+
+        - ``"mor"`` (merge-on-read, default): each epoch appends per-bucket
+          delta files — apply cost O(batch) regardless of table size; reads
+          resolve max-LSN per key; compaction folds deltas into the base
+          when a bucket accumulates ``max_deltas_per_bucket`` delta files
+          (or every ``compact_every`` epochs if set).
+        - ``"cow"`` (copy-on-write): each epoch eagerly merges and rewrites
+          the affected buckets — reads are pure scans, but apply cost grows
+          with table size. Right when batches are huge relative to the
+          table or reads vastly outnumber writes.
+        """
+        assert mode in ("mor", "cow")
+        self.spark = spark
+        self.mode = mode
+        self.compact_every = compact_every
+        self.max_deltas_per_bucket = max_deltas_per_bucket
+        self.table = IceliteTable.create(table_root, payload_schema, n_buckets)
+        self.quarantine_dir = os.path.join(table_root, "quarantine") if quarantine else None
+        self.metrics_dir = os.path.join(table_root, "metrics")
+        self._applied_since_compact = 0
+
+    # --- single-epoch apply --------------------------------------------------
+
+    def apply_epoch(self, events: DataFrame, epoch: int) -> dict:
+        """Dedup + reduce + merge + commit one epoch. No-op if the epoch
+        is already committed (exactly-once under redelivery)."""
+        if epoch in self.table.committed_epochs():
+            return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+
+        obs = Observation(f"events-in-{epoch}")
+        events = events.observe(obs, *_count_alias())
+        reduced = reduce_batch(events)
+        apply_fn = apply_delta_epoch if self.mode == "mor" else merge_epoch
+        stats = apply_fn(
+            self.spark,
+            self.table,
+            reduced,
+            epoch,
+            quarantine_dir=self.quarantine_dir,
+        )
+        if not stats.get("skipped"):
+            stats["events_in"] = int(obs.get["events_in"])
+            write_epoch_metrics(self.table, self.metrics_dir, stats)
+            self._applied_since_compact += 1
+            self._maybe_compact()
+        return stats
+
+    def _maybe_compact(self) -> None:
+        if self.mode != "mor":
+            return
+        due = (
+            self.compact_every is not None
+            and self._applied_since_compact >= self.compact_every
+        )
+        if not due:
+            deltas = self.table.deltas()
+            due = any(
+                len(v) >= self.max_deltas_per_bucket for v in deltas.values()
+            )
+        if due:
+            self.table.compact(self.spark)
+            self._applied_since_compact = 0
+
+    # --- batch replay / resume -------------------------------------------------
+
+    def replay(
+        self, events_dir: str, epochs: list[int] | None = None, verbose: bool = False
+    ) -> dict:
+        """Apply every epoch under ``events_dir/epoch=*`` in order,
+        skipping already-committed ones (checkpoint resume). Returns a
+        replay summary with sustained apply throughput."""
+        epochs = epochs if epochs is not None else list_epochs(events_dir)
+        t0 = time.monotonic()
+        total_events = 0
+        applied, skipped = [], []
+        for k in epochs:
+            df = self.spark.read.parquet(os.path.join(events_dir, f"epoch={k}"))
+            st = self.apply_epoch(df, k)
+            if st.get("skipped"):
+                skipped.append(k)
+            else:
+                applied.append(st)
+                total_events += st["events_in"]
+            if verbose:
+                print(st)
+        wall = time.monotonic() - t0
+        return {
+            "epochs_applied": [s["epoch"] for s in applied],
+            "epochs_skipped": skipped,
+            "events_applied": total_events,
+            "wall_s": round(wall, 3),
+            "events_per_sec": round(total_events / wall, 1) if wall > 0 else None,
+            "per_epoch": applied,
+        }
+
+    def read_final(self) -> DataFrame:
+        return self.table.read(self.spark)
+
+
+def _count_alias():
+    from pyspark.sql import functions as F
+
+    return [F.count(F.lit(1)).alias("events_in")]

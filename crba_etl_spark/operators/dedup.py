@@ -1,0 +1,73 @@
+"""CDC batch reducer: LSN dedup + latest-event-per-key (M2).
+
+This is the Spark-first re-expression of the reference's
+keep-latest-datapoint-per-key cleanse step (FILT-LATEST,
+``/root/reference/etl/transformation/cleanse.py:1-3`` — most recent year
+per (country, indicator)); here it is max-LSN per (conv_id, turn_idx).
+
+Skew note (hot Zipf conversation keys): the reduce is expressed as a
+hash aggregation ``groupBy(key).agg(max(struct(lsn, ...)))`` rather than
+a ``row_number()`` window. Catalyst plans a hash agg as partial
+(map-side combine) + final, so a hot key is collapsed to one row per
+input partition *before* the shuffle — the classic salted two-phase
+reduce, done automatically and allocation-free. A window, by contrast,
+shuffles and sorts every event of the hot key into one partition.
+An explicit-salt variant is provided for verification/benchmarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..schema import KEY_COLS
+
+
+def dedup_lsn(events: DataFrame) -> DataFrame:
+    """Drop duplicate-LSN redeliveries (identical logical changes delivered
+    more than once). LSN is unique per logical change, so (key, lsn)
+    identifies one change."""
+    return events.dropDuplicates(KEY_COLS + ["lsn"])
+
+
+def reduce_latest(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "lsn",
+) -> DataFrame:
+    """One row per key: the event with the highest ``order_col``.
+
+    Emits the full event row (op included) so the merge can distinguish
+    upserts from tombstones. Two-phase (partial + final) hash agg — see
+    module docstring for the skew rationale. Also the merge-on-read
+    resolution operator (order_col="__lsn" over base ∪ delta files).
+    """
+    keys = key_cols or KEY_COLS
+    payload = [c for c in events.columns if c not in keys]
+    # order_col leads the struct => struct max == argmax by it (unique
+    # within a batch after dedup_lsn, so later fields never tie-break)
+    m = F.max(
+        F.struct(*[F.col(order_col), *[F.col(c) for c in payload if c != order_col]])
+    )
+    reduced = events.groupBy(*keys).agg(m.alias("_m"))
+    return reduced.select(*keys, "_m.*")
+
+
+def reduce_latest_salted(
+    events: DataFrame, n_salts: int = 8, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Explicit two-phase salted reduce (equivalent result to
+    ``reduce_latest``): phase 1 reduces (key, salt) groups, phase 2
+    reduces keys. Kept for demonstration/benchmark comparison — Catalyst's
+    partial aggregation already gives ``reduce_latest`` this shape."""
+    keys = key_cols or KEY_COLS
+    payload = [c for c in events.columns if c not in keys]
+    struct = F.struct(*[F.col("lsn"), *[F.col(c) for c in payload if c != "lsn"]])
+    salted = events.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
+    phase1 = salted.groupBy(*keys, "_salt").agg(F.max(struct).alias("_m"))
+    phase2 = phase1.groupBy(*keys).agg(F.max("_m").alias("_m"))
+    return phase2.select(*keys, "_m.*")
+
+
+def reduce_batch(events: DataFrame) -> DataFrame:
+    """Full reducer: LSN dedup then latest-per-key."""
+    return reduce_latest(dedup_lsn(events))

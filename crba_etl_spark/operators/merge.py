@@ -1,0 +1,263 @@
+"""MERGE INTO-style apply (M3): reduced change batch × icelite target.
+
+Semantics (Iceberg MERGE equivalent, keyed by (conv_id, turn_idx)):
+
+- batch row newer than target row (``lsn > __lsn``) → take batch
+  (tombstone if op = D, else upsert payload);
+- batch row for an absent key → insert (a D for an absent key inserts a
+  tombstone, so a straggling lower-LSN insert can never resurrect it);
+- batch row stale (``lsn <= __lsn`` already applied) → target wins, the
+  event goes to the quarantine table (late/low-LSN data is *audited*,
+  never silently dropped);
+- target rows whose key is untouched pass through unchanged.
+
+Scale design:
+- the target is bucketed by ``conv_id`` (icelite bucket transform), and
+  only the buckets the batch actually hits are read and rewritten —
+  a partition-pruned MERGE; at 100 TB the untouched buckets cost zero I/O.
+- the join is a plain equi-join on the key: AQE picks broadcast when the
+  reduced batch is small, skew-split otherwise; on a real cluster with
+  Iceberg both sides are bucket-partitioned → storage-partitioned join
+  (no shuffle of the target).
+- row/stale/tombstone counts ride the write job via ``Observation``
+  (zero extra passes); the quarantine job runs only when stale rows exist.
+
+Reference analog: the right-join to the canonical country universe with
+"No data" fill (JOIN-UNIVERSE, SURVEY.md §2.3) — key-complete resolution
+of new data against an authoritative key set.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
+
+from ..icelite import BUCKET_COL, IceliteTable, bucket_expr
+from ..schema import DELETED_COL, KEY_COLS, LSN_COL, stored_schema
+from .evolve import align_to, merge_schemas
+
+#: change-envelope columns that are not part of the stored payload
+ENVELOPE_COLS = {"op", "lsn", "epoch", "ingest_ts"}
+
+
+def batch_payload_schema(batch: DataFrame) -> T.StructType:
+    return T.StructType(
+        [f for f in batch.schema.fields if f.name not in ENVELOPE_COLS]
+    )
+
+
+def merge_epoch(
+    spark: SparkSession,
+    table: IceliteTable,
+    reduced: DataFrame,
+    epoch: int,
+    quarantine_dir: str | None = None,
+) -> dict:
+    """Apply one reduced batch (one row per key) to the table; commit
+    atomically with the epoch marker. Returns apply stats."""
+    snap = table.snapshot()
+    if epoch in set(snap["committed_epochs"]):
+        return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+
+    t0 = time.monotonic()
+    n_buckets = table.n_buckets()
+
+    # --- schema evolution: additive merge, batch aligned to evolved ----
+    evolved = merge_schemas(table.schema(), batch_payload_schema(reduced))
+    payload_cols = [f.name for f in evolved.fields if f.name not in KEY_COLS]
+    batch = align_to(
+        reduced,
+        T.StructType(
+            list(evolved.fields)
+            + [f for f in reduced.schema.fields if f.name in ("op", "lsn")]
+        ),
+    ).withColumn(BUCKET_COL, bucket_expr(n_buckets))
+    batch = batch.persist()
+
+    # --- partition pruning: only buckets the batch touches -------------
+    affected = {
+        r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+    }
+
+    # resolved view: if prior epochs appended MOR deltas to these buckets,
+    # fold them here (the COW rewrite then subsumes them in the commit)
+    target = table.read_resolved(spark, buckets=affected, schema=evolved)
+
+    # --- the merge join -------------------------------------------------
+    t, b = target.alias("t"), batch.alias("b")
+    j = t.join(b, on=KEY_COLS, how="full_outer")
+    has_batch = F.col("b.lsn").isNotNull()
+    has_target = F.col(f"t.{LSN_COL}").isNotNull()
+    take_batch = has_batch & (~has_target | (F.col("b.lsn") > F.col(f"t.{LSN_COL}")))
+    stale = has_batch & has_target & ~take_batch
+
+    merged = j.select(
+        *KEY_COLS,
+        *[
+            F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in payload_cols
+        ],
+        F.when(take_batch, F.col("b.lsn")).otherwise(F.col(f"t.{LSN_COL}")).alias(LSN_COL),
+        F.when(take_batch, F.col("b.op") == "D")
+        .otherwise(F.col(f"t.{DELETED_COL}"))
+        .alias(DELETED_COL),
+        stale.cast("int").alias("_stale"),
+        take_batch.cast("int").alias("_applied"),
+    )
+
+    obs = Observation(f"merge-epoch-{epoch}")
+    merged = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.coalesce(F.sum("_stale"), F.lit(0)).alias("stale"),
+        F.coalesce(F.sum(F.col(DELETED_COL).cast("int")), F.lit(0)).alias("tombstones"),
+        F.coalesce(F.sum("_applied"), F.lit(0)).alias("applied"),
+    )
+    merged = merged.drop("_stale", "_applied").withColumn(
+        BUCKET_COL, bucket_expr(n_buckets)
+    )
+
+    version = snap["version"] + 1
+    new_files = table.write_merged(merged, epoch=epoch, version=version)
+    m = obs.get
+
+    # --- quarantine: audit stale events (only if any exist) -------------
+    if m["stale"] and quarantine_dir:
+        stale_rows = (
+            j.filter(stale)
+            .select(
+                F.lit(epoch).alias("quarantine_epoch"),
+                F.col("b.lsn").alias("lsn"),
+                F.col("b.op").alias("op"),
+                *KEY_COLS,
+                *[F.col(f"b.{c}").alias(c) for c in payload_cols],
+                F.col(f"t.{LSN_COL}").alias("applied_lsn"),
+            )
+        )
+        stale_rows.write.mode("overwrite").parquet(
+            f"{quarantine_dir}/epoch={epoch}"
+        )
+
+    stats = {
+        "epoch": epoch,
+        "skipped": False,
+        "keys_in_batch": None,  # filled by engine (observed upstream)
+        "affected_buckets": sorted(int(x) for x in affected),
+        "n_affected_buckets": len(affected),
+        "rows_out": int(m["rows_out"]),
+        "rows_applied": int(m["applied"]),
+        "rows_carried": int(m["rows_out"]) - int(m["applied"]),
+        "stale_quarantined": int(m["stale"]),
+        "tombstones_in_table": int(m["tombstones"]),
+        "version": version,
+        "apply_s": round(time.monotonic() - t0, 3),
+    }
+    table.commit(
+        epoch=epoch,
+        new_bucket_files=new_files,
+        affected=affected,
+        schema=evolved,
+        stats={k: v for k, v in stats.items() if k != "affected_buckets"},
+    )
+    batch.unpersist()
+    return stats
+
+
+def apply_delta_epoch(
+    spark: SparkSession,
+    table: IceliteTable,
+    reduced: DataFrame,
+    epoch: int,
+    quarantine_dir: str | None = None,
+) -> dict:
+    """Merge-on-read apply (the sustained-throughput path): write the
+    reduced batch as per-bucket **delta files** and commit — nothing in
+    the table is read or rewritten, so apply cost is O(batch) regardless
+    of table size. Conflicts (multiple versions of a key across base and
+    deltas) are resolved on read / at compaction by max-__lsn per key.
+
+    If ``quarantine_dir`` is set, stale events (lsn ≤ already-applied lsn
+    for the key) are additionally audited eagerly with a column-pruned
+    scan of the affected buckets (reads only key + __lsn columns).
+    """
+    snap = table.snapshot()
+    if epoch in set(snap["committed_epochs"]):
+        return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+
+    t0 = time.monotonic()
+    n_buckets = table.n_buckets()
+    key_cols = table.key_cols()
+
+    evolved = merge_schemas(table.schema(), batch_payload_schema(reduced))
+    payload_cols = [f.name for f in evolved.fields]
+    batch = align_to(
+        reduced,
+        T.StructType(
+            list(evolved.fields)
+            + [f for f in reduced.schema.fields if f.name in ("op", "lsn")]
+        ),
+    )
+    delta = batch.select(
+        *payload_cols,
+        F.col("lsn").alias(LSN_COL),
+        (F.col("op") == "D").alias(DELETED_COL),
+    ).withColumn(BUCKET_COL, bucket_expr(n_buckets))
+
+    obs = Observation(f"delta-epoch-{epoch}")
+    delta = delta.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum(F.col(DELETED_COL).cast("int")), F.lit(0)).alias("dels"),
+    )
+
+    version = snap["version"] + 1
+    new_files = table.write_merged(delta, epoch=epoch, version=version)
+    m = obs.get
+
+    stale_count = 0
+    if quarantine_dir is not None:
+        affected = set(new_files.keys())
+        applied = (
+            table.read_resolved(spark, buckets=affected)
+            .select(*key_cols, F.col(LSN_COL).alias("applied_lsn"))
+        )
+        stale_rows = (
+            batch.join(applied, on=key_cols, how="inner")
+            .filter(F.col("lsn") <= F.col("applied_lsn"))
+            .select(
+                F.lit(epoch).alias("quarantine_epoch"),
+                "lsn",
+                "op",
+                *key_cols,
+                *[c for c in payload_cols if c not in key_cols],
+                "applied_lsn",
+            )
+        )
+        sobs = Observation(f"stale-epoch-{epoch}")
+        stale_rows = stale_rows.observe(sobs, F.count(F.lit(1)).alias("n"))
+        stale_rows.write.mode("overwrite").parquet(f"{quarantine_dir}/epoch={epoch}")
+        stale_count = int(sobs.get["n"])
+
+    stats = {
+        "epoch": epoch,
+        "skipped": False,
+        "mode": "mor",
+        "keys_in_batch": int(m["rows"]),
+        "affected_buckets": sorted(new_files.keys()),
+        "n_affected_buckets": len(new_files),
+        "rows_out": int(m["rows"]),
+        "rows_applied": int(m["rows"]) - stale_count,
+        "rows_carried": 0,
+        "stale_quarantined": stale_count,
+        "tombstones_in_table": int(m["dels"]),
+        "version": version,
+        "apply_s": round(time.monotonic() - t0, 3),
+    }
+    table.commit_deltas(
+        epoch=epoch,
+        new_bucket_files=new_files,
+        schema=evolved,
+        stats={k: v for k, v in stats.items() if k != "affected_buckets"},
+    )
+    return stats
