@@ -142,7 +142,8 @@ def merge_epoch(
     stats = {
         "epoch": epoch,
         "skipped": False,
-        "keys_in_batch": None,  # filled by engine (observed upstream)
+        "mode": "cow",
+        "keys_in_batch": int(m["applied"]) + int(m["stale"]),
         "affected_buckets": sorted(int(x) for x in affected),
         "n_affected_buckets": len(affected),
         "rows_out": int(m["rows_out"]),

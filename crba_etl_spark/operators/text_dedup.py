@@ -1,0 +1,155 @@
+"""Document deduplication operators (training-data pipeline).
+
+All hashing is built on ``conv(substr(md5(x),1,8),16,10)`` — a 32-bit
+integer hash that is portable across Spark, DuckDB and Python, so every
+operator here has an exact cross-engine oracle. Everything is pure
+DataFrame/Catalyst column expressions (JVM-side, codegen'd) — no Python
+UDFs anywhere.
+
+Scale notes (100 TB):
+- exact dedup is a hash groupBy — map-side partial agg, one shuffle on
+  the 128-bit digest (uniform, no skew);
+- shingling multiplies rows ×~L; the shingle->doc join for Jaccard is
+  quadratic in posting-list length, so it is for *verification of
+  candidates*; MinHash+LSH is the scale path: signature is a fixed-width
+  row per doc, candidates come from equi-joins on band hashes (uniform
+  keys), and only candidates pay the verification join;
+- SimHash reduces each doc to one 32-bit value: near-dup = small Hamming
+  distance; bucket by prefix for sub-quadratic search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: MinHash parameters — shared with the SQL oracle (queries.py)
+MINHASH_P = 1_000_000_007
+MINHASH_A = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67]
+MINHASH_B = [k * 1009 + 1 for k in range(16)]
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_LEN = 5
+
+
+def h32(col) -> F.Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 as an integer."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct character shingles per document (id, sh)."""
+    return docs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col})-{SHINGLE_LEN - 1}, 1)),"
+                f" i -> substr({text_col}, i, {SHINGLE_LEN}))"
+            )
+        ).alias("sh"),
+    ).distinct()
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest: (text_md5, n_docs, keeper)."""
+    return docs.groupBy(F.md5(text_col).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.35, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
+
+    Quadratic in posting-list length — the verification oracle. Use
+    minhash_lsh_candidates to prune at scale.
+    """
+    sh = shingles(docs, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """K=16 MinHash signature columns s0..s15 per document."""
+    sh = shingles(docs, id_col).withColumn("h", h32(F.col("sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{k}")
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over the MinHash
+    signature: docs sharing >= 1 of the 4 bands (4 rows each).
+    Output: (id_a, id_b, n_shared_bands)."""
+    sig = minhash_signatures(docs, id_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ":", *[F.col(f"s{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+            )
+        ).alias("band_hash")
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_cols[b])
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "bd.band_idx", "bd.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document over character shingles.
+
+    bit_i(doc) = sign of sum over shingles of (2*bit_i(h32(sh)) - 1).
+    """
+    sh = shingles(docs, id_col).withColumn("h", h32(F.col("sh")))
+    bit_sums = [
+        F.sum(
+            (F.expr(f"shiftright(h, {i}) & 1") * 2 - 1)
+        ).alias(f"bs{i}")
+        for i in range(32)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(32):
+        term = F.when(F.col(f"bs{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.cast("long").alias("simhash"))

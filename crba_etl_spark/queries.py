@@ -1,0 +1,790 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+(PySpark DataFrame builder, exact DuckDB oracle SQL) pair over the
+driver's testdata tables.
+
+Conventions that make the cross-engine value-hash comparison exact:
+- every computed column is aliased identically in both engines;
+- double sums are computed over DECIMAL casts (exact) and converted to
+  double at the end; ratios/similarities are ``round(x, 6)``;
+- timestamps in outputs are converted to epoch seconds with *floor*
+  semantics on both sides (Spark ``unix_timestamp`` floors; DuckDB uses
+  ``floor(epoch(ts))``);
+- hashing is md5-based (bit-identical in Spark/DuckDB/Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators import similarity, text_analysis, text_dedup
+from .operators.dedup import reduce_latest
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_s(col) -> F.Column:
+    return F.unix_timestamp(col)
+
+
+_SQL_TS_S = "floor(epoch({c}))::BIGINT"
+
+# --------------------------------------------------------------------------
+# 1. CDC-shaped operators over the `events` stream table
+
+
+def q_cdc_latest_per_key(spark, sf_dir):
+    """FILT-LATEST / WIN-LATEST (SURVEY §2.2, §2.5): latest event per key —
+    the core CDC reducer shape, as a two-phase hash agg."""
+    ev = load(spark, sf_dir, "events")
+    r = reduce_latest(
+        ev.select(
+            "user_id",
+            _ts_s("ts").alias("ts_s"),
+            F.col("event_id").alias("lsn"),
+            "event_type",
+            "value",
+        ),
+        key_cols=["user_id"],
+        order_col="lsn",
+    )
+    return r.select(
+        "user_id",
+        F.col("lsn").alias("last_event_id"),
+        F.col("ts_s").alias("last_ts_s"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_CDC_LATEST_PER_KEY = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, {_SQL_TS_S.format(c='ts')} AS ts_s, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts_s AS last_ts_s,
+       event_type AS last_event_type, value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_cdc_replay_reduce(spark, sf_dir):
+    """Flagship shape: map the events table to a change stream over
+    transcripts(conv_id, turn_idx, ...) and reduce it to final state —
+    the engine's dedup+reduce+tombstone-filter path as one declarative
+    plan (the full engine incl. table commits runs in entry())."""
+    ev = load(spark, sf_dir, "events")
+    cdc = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "purchase", "UPSERT")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.col("event_id") % 40).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (F.col("event_id") % 4).cast("int") + 1,
+        ).alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "click", "browser").alias("tool"),
+        F.col("ts"),
+    )
+    final = reduce_latest(cdc, key_cols=["conv_id", "turn_idx"], order_col="lsn")
+    return final.filter(F.col("op") != "D").select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        _ts_s("ts").alias("ts_s"), "lsn",
+    )
+
+
+SQL_CDC_REPLAY_REDUCE = f"""
+WITH cdc AS (
+  SELECT event_id AS lsn,
+         CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+              WHEN 'purchase' THEN 'UPSERT' ELSE 'U' END AS op,
+         'u' || user_id::VARCHAR AS conv_id,
+         (event_id % 40)::INT AS turn_idx,
+         ['user','assistant','system','tool'][(event_id % 4)::INT + 1] AS role,
+         props AS text,
+         CASE WHEN event_type = 'click' THEN 'browser' END AS tool,
+         ts
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM cdc
+)
+SELECT conv_id, turn_idx, role, text, tool, {_SQL_TS_S.format(c='ts')} AS ts_s, lsn
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via window lag+cumsum —
+    the batch shape of a streaming session window."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        _ts_s(F.col("ts")) - _ts_s(F.lag("ts").over(w)) > 1800
+    ).cast("int")
+    sess = ev.withColumn("new_sess", F.coalesce(gap, F.lit(1))).withColumn(
+        "session_idx", F.sum("new_sess").over(w)
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(_ts_s(F.col("ts"))).alias("start_s"),
+        F.max(_ts_s(F.col("ts"))).alias("end_s"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN {_SQL_TS_S.format(c='ts')} -
+                   {_SQL_TS_S.format(c="lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")}
+                   > 1800 THEN 1
+              WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min({_SQL_TS_S.format(c='ts')}) AS start_s,
+       max({_SQL_TS_S.format(c='ts')}) AS end_s
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_tumbling_hourly(spark, sf_dir):
+    """Tumbling-window aggregate (streaming windowed-agg shape, batch)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        _ts_s(F.date_trunc("hour", F.col("ts"))).alias("hour_s"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,2)"))).cast("double").alias("sum_value"),
+    )
+
+
+SQL_TUMBLING_HOURLY = f"""
+SELECT {_SQL_TS_S.format(c="date_trunc('hour', ts)")} AS hour_s, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_dedup_exact_events(spark, sf_dir):
+    """Exact dedup via hash groupBy (SURVEY §2.4 AGG-DISTINCT)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_DEDUP_EXACT_EVENTS = (
+    "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+)
+
+
+def q_user_high_watermark(spark, sf_dir):
+    """Per-key applied high watermark (per-partition lineage analog)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("hw_event_id"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_USER_HIGH_WATERMARK = (
+    "SELECT user_id, max(event_id) AS hw_event_id, count(*) AS n_events "
+    "FROM events GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# 2. warehouse operators (reference ETL shapes on TPC-H-ish tables)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Scan→filter→agg with decimal-exact sums (AGG-MINMAX/AGG-STATS)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1998-09-01")
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.withColumn(
+        "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6)
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Star join: fact × broadcast dims (JOIN-CTRY/JOIN-IND shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Top-k with deterministic tie-break (SORT/LIMIT §2.6)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    agg = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    return (
+        agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "revenue")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey AS custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY revenue DESC, custkey LIMIT 10
+"""
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Window row_number latest-per-key (the reference FILT-LATEST)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            _ts_s("o_orderdate").alias("last_order_s"),
+            "o_totalprice",
+        )
+    )
+
+
+SQL_LATEST_ORDER_PER_CUSTOMER = f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS last_orderkey,
+       {_SQL_TS_S.format(c='o_orderdate')} AS last_order_s, o_totalprice
+FROM r WHERE rn = 1
+"""
+
+
+def q_orderpriority_pivot(spark, sf_dir):
+    """RESHAPE-PIVOT (§2.8): long → wide with conditional counts."""
+    o = load(spark, sf_dir, "orders")
+    prios = [r[0] for r in o.select("o_orderpriority").distinct().collect()]
+    exprs = [
+        F.sum((F.col("o_orderpriority") == p).cast("long")).alias(
+            "n_" + p.split("-")[0].lower()
+        )
+        for p in sorted(prios)
+    ]
+    return o.groupBy("o_orderstatus").agg(*exprs)
+
+
+def _sql_orderpriority_pivot():
+    # priorities are the TPC-H standard five; generated to keep both
+    # sides aligned by name
+    ps = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{p.split('-')[0].lower()}"
+        for p in sorted(ps)
+    )
+    return f"SELECT o_orderstatus,\n       {cols}\nFROM orders GROUP BY 1"
+
+
+def q_unpivot_part(spark, sf_dir):
+    """RESHAPE-MELT (§2.8): wide → long with Spark 4 native unpivot."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+SQL_UNPIVOT_PART = """
+SELECT p_partkey, 'p_size' AS attr, p_size::DOUBLE AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice::DOUBLE AS val FROM part
+"""
+
+
+def q_rollup_region_acctbal(spark, sf_dir):
+    """Cascaded roll-up means (the reference's indicator→issue→index
+    hierarchy, AGG-MEAN §2.4): nation-level avg then region-level avg."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    lvl1 = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("nation_avg"))
+    )
+    return lvl1.groupBy("r_name").agg(
+        F.round(F.avg("nation_avg"), 6).alias("region_avg_of_avgs"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+SQL_ROLLUP_REGION_ACCTBAL = """
+WITH lvl1 AS (
+  SELECT r_name, n_name, round(avg(c_acctbal), 6) AS nation_avg
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, round(avg(nation_avg), 6) AS region_avg_of_avgs,
+       count(*) AS n_nations
+FROM lvl1 GROUP BY 1
+"""
+
+
+def q_minmax_scale_orders(spark, sf_dir):
+    """NUM-SCALE (§2.8): min-max normalize to 1..10 within groups — the
+    reference's published normalization formula as window arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    mn, mx = F.min("o_totalprice").over(w), F.max("o_totalprice").over(w)
+    score = F.when(mx == mn, F.lit(5.5)).otherwise(
+        1 + 9 * (F.col("o_totalprice") - mn) / (mx - mn)
+    )
+    return o.select(
+        "o_orderkey", "o_orderpriority", F.round(score, 6).alias("scaled_1_10")
+    )
+
+
+SQL_MINMAX_SCALE_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       round(CASE WHEN max(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                     = min(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                  THEN 5.5
+                  ELSE 1 + 9 * (o_totalprice - min(o_totalprice) OVER (PARTITION BY o_orderpriority))
+                       / (max(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                          - min(o_totalprice) OVER (PARTITION BY o_orderpriority))
+             END, 6) AS scaled_1_10
+FROM orders
+"""
+
+
+def q_universe_fill(spark, sf_dir):
+    """JOIN-UNIVERSE + FILL (§2.3, §2.8): every nation appears even with
+    zero customers — the reference's right-join to the country universe
+    with 'No data' sentinel."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        n.join(F.broadcast(per_nation), n.n_nationkey == per_nation.c_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.when(F.col("n_customers").isNull(), "No data")
+            .otherwise("ok")
+            .alias("status"),
+        )
+    )
+
+
+SQL_UNIVERSE_FILL = """
+SELECT n_name,
+       coalesce(n_customers, 0) AS n_customers,
+       CASE WHEN n_customers IS NULL THEN 'No data' ELSE 'ok' END AS status
+FROM nation
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+  ON n_nationkey = c_nationkey
+"""
+
+
+def q_users_without_purchase(spark, sf_dir):
+    """SET-DIFF (§2.7) via left_anti — the reference's unknown-code
+    filter (scripts/filter_unknown_issus.py analog)."""
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        ev.select("user_id").distinct().join(buyers, "user_id", "left_anti")
+    )
+
+
+SQL_USERS_WITHOUT_PURCHASE = """
+SELECT DISTINCT user_id FROM events
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_union_drift(spark, sf_dir):
+    """SET-UNION with column drift (§2.7): unionByName with missing
+    columns — the reference's edition-over-edition combine."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+SQL_UNION_DRIFT = """
+SELECT user_id, count(*) AS n, NULL::DOUBLE AS sum_value
+FROM events WHERE event_type = 'click' GROUP BY 1
+UNION ALL
+SELECT user_id, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'view' GROUP BY 1
+"""
+
+
+def q_value_map_encode(spark, sf_dir):
+    """COND-ENC (§2.8): categorical → numeric score CASE chain (the
+    reference's value_mapping tables)."""
+    ev = load(spark, sf_dir, "events")
+    score = (
+        F.when(F.col("event_type") == "purchase", 10.0)
+        .when(F.col("event_type") == "signup", 8.0)
+        .when(F.col("event_type") == "click", 3.0)
+        .when(F.col("event_type") == "view", 1.0)
+        .otherwise(0.0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(score), 1).alias("total_score"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_VALUE_MAP_ENCODE = """
+SELECT event_type,
+       CAST(round(sum(CASE event_type WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 8.0
+                 WHEN 'click' THEN 3.0 WHEN 'view' THEN 1.0 ELSE 0.0 END), 1) AS DOUBLE) AS total_score,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. training-data operators (documents / embeddings)
+
+
+def q_dedup_exact_text(spark, sf_dir):
+    return text_dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT_TEXT = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+_SQL_SHINGLES = """
+  pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM pos
+  )
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return text_dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.35
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return text_dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def _sql_minhash_sig_cte():
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {text_dedup.MINHASH_P}) AS s{k}"
+        for k, (a, b) in enumerate(zip(text_dedup.MINHASH_A, text_dedup.MINHASH_B))
+    )
+    return f"""
+  hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh
+  ),
+  sig AS (
+    SELECT doc_id,
+         {mins}
+    FROM hashed GROUP BY doc_id
+  )
+"""
+
+
+def _sql_minhash_signatures():
+    return f"WITH {_SQL_SHINGLES}, {_sql_minhash_sig_cte()} SELECT * FROM sig"
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    return text_dedup.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
+
+
+def _sql_minhash_lsh():
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws(':', s{4*b}, s{4*b+1}, s{4*b+2}, s{4*b+3})) AS band_hash FROM sig"
+        for b in range(text_dedup.N_BANDS)
+    )
+    return f"""
+WITH {_SQL_SHINGLES}, {_sql_minhash_sig_cte()},
+bands AS (
+{bands}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return text_dedup.simhash32(load(spark, sf_dir, "documents"))
+
+
+def _sql_simhash():
+    sums = ",\n         ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS bs{i}" for i in range(32)
+    )
+    val = " + ".join(
+        f"CASE WHEN bs{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    return text_analysis.token_stats(load(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+       length(text) AS n_chars,
+       round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+             / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1), 6)
+         AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return text_analysis.quality_score(load(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SCORE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.5
+             + least(round(n_stop / greatest(n_tokens, 1), 6) * 2.0, 0.3)
+             + least(round(n_punct / greatest(n_chars, 1), 6) * 5.0, 0.2), 6) AS quality
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return text_analysis.lang_id(load(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS hits_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS hits_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et)\b')) AS hits_fr,
+         len(regexp_extract_all(lower(text), '\b(el|los|las|y)\b')) AS hits_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+         WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+         WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+         WHEN hits_es > 0 THEN 'es'
+         ELSE 'und'
+       END AS lang_pred
+FROM t
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return text_analysis.fingerprint(load(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = f"""
+WITH {_SQL_SHINGLES}
+SELECT doc_id, min(('0x' || substr(md5(sh), 1, 8))::BIGINT) AS fingerprint
+FROM sh GROUP BY 1
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-probed approximate NN (no SQL oracle — rows-only check; the
+    exact-path cosine_topk above is the oracle-verified baseline)."""
+    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+def registry() -> dict[str, tuple]:
+    """name → (spark_fn, oracle_sql | None)."""
+    return {
+        "cdc_latest_per_key": (q_cdc_latest_per_key, SQL_CDC_LATEST_PER_KEY),
+        "cdc_replay_reduce": (q_cdc_replay_reduce, SQL_CDC_REPLAY_REDUCE),
+        "sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
+        "dedup_exact_events": (q_dedup_exact_events, SQL_DEDUP_EXACT_EVENTS),
+        "user_high_watermark": (q_user_high_watermark, SQL_USER_HIGH_WATERMARK),
+        "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+        "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+        "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+        "latest_order_per_customer": (
+            q_latest_order_per_customer,
+            SQL_LATEST_ORDER_PER_CUSTOMER,
+        ),
+        "orderpriority_pivot": (q_orderpriority_pivot, _sql_orderpriority_pivot()),
+        "unpivot_part": (q_unpivot_part, SQL_UNPIVOT_PART),
+        "rollup_region_acctbal": (q_rollup_region_acctbal, SQL_ROLLUP_REGION_ACCTBAL),
+        "minmax_scale_orders": (q_minmax_scale_orders, SQL_MINMAX_SCALE_ORDERS),
+        "universe_fill": (q_universe_fill, SQL_UNIVERSE_FILL),
+        "users_without_purchase": (
+            q_users_without_purchase,
+            SQL_USERS_WITHOUT_PURCHASE,
+        ),
+        "union_drift": (q_union_drift, SQL_UNION_DRIFT),
+        "value_map_encode": (q_value_map_encode, SQL_VALUE_MAP_ENCODE),
+        "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+        "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
+        "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
+        "simhash": (q_simhash, _sql_simhash()),
+        "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "ann_ivf_topk": (q_ivf_topk, None),
+    }

