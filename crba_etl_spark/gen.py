@@ -37,20 +37,27 @@ class StreamSpec:
     shuffle_window: int = 64  # max ingest-order displacement vs lsn order
     zipf_a: float = 1.5  # conversation-length skew (hot keys)
     max_turns: int = 500  # cap on conversation length
+    text_pad: int = 0  # extra deterministic filler chars per turn text
+    # (agent-transcript turns are typically hundreds of chars; bench uses
+    # ~256 so per-row cost is realistic rather than metadata-dominated)
+    rows_per_file: int = 125_000  # chunk epochs into multiple files, like
+    # a real binlog tail does — a single giant file serializes the scan
 
 
-def _roles(conv: np.ndarray, turn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic role/tool assignment from (conv, turn)."""
+def _role_idx(conv: np.ndarray, turn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic role/tool assignment from (conv, turn), as small-int
+    dictionary indices (no Python string objects — scales to 10^8 rows)."""
     mix = (conv * 31 + turn * 7) % 20
-    role = np.where(turn % 2 == 0, "user", "assistant").astype(object)
+    role = (turn % 2).astype(np.int8)  # 0=user, 1=assistant
     tool_mask = mix == 7
-    role[tool_mask] = "tool"
-    role[(turn == 0) & (conv % 13 == 0)] = "system"
-    tool = np.where(tool_mask, "tool_", None).astype(object)
-    tool[tool_mask] = np.char.add(
-        "tool_", ((conv[tool_mask] + turn[tool_mask]) % 5).astype(str)
-    )
-    return role, tool
+    role[tool_mask] = 2  # tool
+    role[(turn == 0) & (conv % 13 == 0)] = 3  # system
+    tool_idx = ((conv + turn) % 5).astype(np.int8)
+    return role, np.where(tool_mask, tool_idx, -1).astype(np.int8)
+
+
+_ROLE_DICT = ["user", "assistant", "tool", "system"]
+_TOOL_DICT = [f"tool_{i}" for i in range(5)]
 
 
 def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
@@ -99,10 +106,15 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
         [turn_idx, turn_idx[upd_pick], turn_idx[del_pick],
          turn_idx[ups_exist], ups_new_turn]
     )
+    # op codes: 0=I, 1=U, 2=D, 3=UPSERT (dictionary-encoded at write)
     op = np.concatenate(
-        [np.repeat("I", t_ins), np.repeat("U", n_upd), np.repeat("D", n_del),
-         np.repeat("UPSERT", n_ups // 2 + n_ups_new)]
-    ).astype(object)
+        [
+            np.zeros(t_ins, dtype=np.int8),
+            np.full(n_upd, 1, dtype=np.int8),
+            np.full(n_del, 2, dtype=np.int8),
+            np.full(n_ups // 2 + n_ups_new, 3, dtype=np.int8),
+        ]
+    )
     span = float(t_ins)
     ev_time = np.concatenate(
         [ins_time,
@@ -133,23 +145,53 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
         "timedelta64[us]"
     )
 
-    # --- 5. payload columns -----------------------------------------------
+    # --- 5. payload columns (vectorized Arrow — no Python objects) ---------
+    import pyarrow.compute as pc
+
     # payload ts is a pure function of (conv, turn): monotone per conversation
     ts = _BASE_TS + (
         (conv_start[conv] * 60_000_000).astype(np.int64)
         + turn * 60_000_000
     ).astype("timedelta64[us]")
-    conv_id = pd.Series(conv).astype(str).str.zfill(7).radd("c").to_numpy(object)
-    role, tool = _roles(conv, turn)
-    text = (
-        pd.Series(conv_id, dtype=object)
-        + " turn " + pd.Series(turn).astype(str)
-        + " rev " + pd.Series(lsn).astype(str)
-    ).to_numpy(object)
-    is_del = op == "D"
-    role = np.where(is_del, None, role)
-    text = np.where(is_del, None, text)
-    tool = np.where(is_del, None, tool)
+    is_del = op == 2
+
+    conv_id = pc.binary_join_element_wise(
+        pa.scalar("c"),
+        pc.utf8_lpad(pc.cast(pa.array(conv), pa.string()), 7, "0"),
+        pa.scalar(""),
+    )
+    filler = ""
+    if spec.text_pad:
+        filler = " " + (
+            "the quick brown fox jumps over the lazy dog "
+            * (spec.text_pad // 44 + 1)
+        )[: spec.text_pad]
+    # large_string: total text bytes exceed the 2 GB int32-offset limit
+    # of plain string arrays at >~7M padded rows
+    pieces = [
+        pc.cast(conv_id, pa.large_string()),
+        pa.scalar("turn", pa.large_string()),
+        pc.cast(pa.array(turn), pa.large_string()),
+        pa.scalar("rev", pa.large_string()),
+        pc.cast(pa.array(lsn), pa.large_string()),
+    ]
+    if filler:
+        pieces.append(pa.scalar(filler.strip(), pa.large_string()))
+    text = pc.binary_join_element_wise(*pieces, pa.scalar(" ", pa.large_string()))
+    del_mask = pa.array(is_del)
+    text = pc.if_else(del_mask, pa.scalar(None, pa.large_string()), text)
+
+    role_idx, tool_idx = _role_idx(conv, turn)
+    role = pa.DictionaryArray.from_arrays(
+        pa.array(role_idx, mask=is_del), pa.array(_ROLE_DICT)
+    )
+    tool = pa.DictionaryArray.from_arrays(
+        pa.array(
+            np.where(tool_idx < 0, 0, tool_idx).astype(np.int8),
+            mask=is_del | (tool_idx < 0),
+        ),
+        pa.array(_TOOL_DICT),
+    )
 
     epoch = (np.arange(total, dtype=np.int64) * spec.n_epochs) // total
 
@@ -161,12 +203,14 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
         {
             "lsn": pa.array(lsn, pa.int64()),
             "epoch": pa.array(epoch, pa.int64()),
-            "op": pa.array(op, pa.string()),
-            "conv_id": pa.array(conv_id, pa.string()),
+            "op": pa.DictionaryArray.from_arrays(
+                pa.array(op), pa.array(["I", "U", "D", "UPSERT"])
+            ),
+            "conv_id": conv_id,
             "turn_idx": pa.array(turn.astype(np.int32), pa.int32()),
-            "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
-            "tool": pa.array(tool, pa.string()),
+            "role": role,
+            "text": text,
+            "tool": tool,
             "ts": pa.array(ts),
             "ingest_ts": pa.array(ingest_ts),
         }
@@ -178,14 +222,18 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
             sl = sl.drop_columns(["tool"])
         d = os.path.join(out_dir, f"epoch={k}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sl, os.path.join(d, "part-0.parquet"))
+        for j, off in enumerate(range(0, max(sl.num_rows, 1), spec.rows_per_file)):
+            pq.write_table(
+                sl.slice(off, spec.rows_per_file),
+                os.path.join(d, f"part-{j:03d}.parquet"),
+            )
 
     return {
         "total_events": total,
         "logical_events": n,
         "n_epochs": spec.n_epochs,
         "n_convs": n_convs,
-        "distinct_keys": int(pd.DataFrame({"c": conv_id, "t": turn}).drop_duplicates().shape[0]),
+        "distinct_keys": int(np.unique(conv * 1024 + turn).size),
     }
 
 

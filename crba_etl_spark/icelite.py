@@ -232,8 +232,14 @@ class IceliteTable:
         out = os.path.join(self.root, rel)
         if os.path.exists(out):
             shutil.rmtree(out)  # orphan from a crashed attempt — never referenced
+        n = self.n_buckets()
         (
-            df.write.partitionBy(BUCKET_COL)
+            # cluster rows by bucket before the partitioned write so each
+            # commit emits ~one file per bucket instead of tasks×buckets
+            # small files (a real cluster would raise files-per-bucket by
+            # repartitioning on (bucket, salt) when buckets exceed task size)
+            df.repartition(n, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out)
         )
@@ -313,13 +319,21 @@ class IceliteTable:
         spark: SparkSession,
         drop_tombstones: bool = False,
         buckets: set[int] | None = None,
+        quarantine_dir: str | None = None,
     ) -> dict:
         """Fold deltas into the base (merge-on-read → pure base) for the
         given buckets (default: every bucket that has deltas); optionally
         drop tombstones (safe once no lower-LSN stragglers can still
-        arrive — the compaction horizon)."""
+        arrive — the compaction horizon).
+
+        Lazy quarantine: if ``quarantine_dir`` is set, rows that lost
+        resolution to a row committed in an *earlier* epoch (i.e. they
+        were stale/low-LSN on arrival) are written out for audit here —
+        amortized into the compaction scan instead of a per-epoch table
+        re-scan (which would make apply O(table) instead of O(batch))."""
         snap = self.snapshot()
         n = snap.get("n_buckets", 32)
+        had_deltas = any(snap.get("deltas", {}).values())
         if buckets is None:
             buckets = {int(b) for b, v in snap.get("deltas", {}).items() if v}
             if drop_tombstones:
@@ -327,6 +341,29 @@ class IceliteTable:
         if not buckets and not drop_tombstones:
             return snap
         df = self.read_resolved(spark, buckets=buckets)
+        if quarantine_dir is not None and had_deltas:
+            keys = self.key_cols()
+            stored = self.read_stored(spark, buckets=buckets)
+            winners = df.select(
+                *keys,
+                F.col("__lsn").alias("applied_lsn"),
+                F.col("__epoch").alias("applied_epoch"),
+            )
+            stale = (
+                stored.join(winners, on=keys)
+                .filter(F.col("__epoch") > F.col("applied_epoch"))
+                .select(
+                    F.col("__epoch").alias("quarantine_epoch"),
+                    F.col("__lsn").alias("lsn"),
+                    *keys,
+                    *[f.name for f in self.schema().fields if f.name not in keys],
+                    F.col("__deleted").alias("was_delete"),
+                    "applied_lsn",
+                )
+            )
+            stale.write.mode("append").parquet(
+                os.path.join(quarantine_dir, f"compact-v{snap['version'] + 1:06d}")
+            )
         if drop_tombstones:
             df = df.filter(~F.col("__deleted"))
         df = df.withColumn(BUCKET_COL, bucket_expr(n))

@@ -69,5 +69,14 @@ def reduce_latest_salted(
 
 
 def reduce_batch(events: DataFrame) -> DataFrame:
-    """Full reducer: LSN dedup then latest-per-key."""
-    return reduce_latest(dedup_lsn(events))
+    """Full reducer: LSN dedup + latest-per-key in ONE shuffle.
+
+    A duplicate-LSN redelivery is byte-identical in every payload column
+    (same logical change), so the max-struct aggregation absorbs it: on
+    an lsn tie the tie-break fields are compared, but whichever copy wins
+    yields the same stored row. Running ``dedup_lsn`` first would add a
+    second shuffle for no semantic difference — measured as pure loss.
+    ``dedup_lsn`` remains available for pipelines that need the deduped
+    *event stream* itself (e.g. exact redelivery-rate metrics).
+    """
+    return reduce_latest(events)

@@ -34,7 +34,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from ..icelite import BUCKET_COL, IceliteTable, bucket_expr
-from ..schema import DELETED_COL, KEY_COLS, LSN_COL, stored_schema
+from ..schema import DELETED_COL, EPOCH_COL, KEY_COLS, LSN_COL, stored_schema
 from .evolve import align_to, merge_schemas
 
 #: change-envelope columns that are not part of the stored payload
@@ -102,6 +102,9 @@ def merge_epoch(
         F.when(take_batch, F.col("b.op") == "D")
         .otherwise(F.col(f"t.{DELETED_COL}"))
         .alias(DELETED_COL),
+        F.when(take_batch, F.lit(epoch).cast("long"))
+        .otherwise(F.col(f"t.{EPOCH_COL}"))
+        .alias(EPOCH_COL),
         stale.cast("int").alias("_stale"),
         take_batch.cast("int").alias("_applied"),
     )
@@ -203,6 +206,7 @@ def apply_delta_epoch(
         *payload_cols,
         F.col("lsn").alias(LSN_COL),
         (F.col("op") == "D").alias(DELETED_COL),
+        F.lit(epoch).cast("long").alias(EPOCH_COL),
     ).withColumn(BUCKET_COL, bucket_expr(n_buckets))
 
     obs = Observation(f"delta-epoch-{epoch}")
@@ -219,9 +223,14 @@ def apply_delta_epoch(
     stale_count = 0
     if quarantine_dir is not None:
         affected = set(new_files.keys())
+        # applied high-watermark per key = max __lsn over base+deltas of
+        # the affected buckets: a column-pruned scan (3 columns reach the
+        # parquet reader) + two-phase hash agg — no full-row resolution
         applied = (
-            table.read_resolved(spark, buckets=affected)
-            .select(*key_cols, F.col(LSN_COL).alias("applied_lsn"))
+            table.read_stored(spark, buckets=affected)
+            .select(*key_cols, LSN_COL)
+            .groupBy(*key_cols)
+            .agg(F.max(LSN_COL).alias("applied_lsn"))
         )
         stale_rows = (
             batch.join(applied, on=key_cols, how="inner")

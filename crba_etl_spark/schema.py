@@ -68,8 +68,13 @@ LSN_COL = "__lsn"
 #: Tombstones stay in-table (filtered on read) so a late, lower-LSN update
 #: can never resurrect a deleted key.
 DELETED_COL = "__deleted"
+#: epoch that committed the row — lets compaction classify late/low-LSN
+#: arrivals (a row that loses resolution to a row committed in an EARLIER
+#: epoch was stale on arrival → quarantine), without any per-epoch
+#: table re-scan.
+EPOCH_COL = "__epoch"
 
-INTERNAL_COLS = [LSN_COL, DELETED_COL]
+INTERNAL_COLS = [LSN_COL, DELETED_COL, EPOCH_COL]
 
 
 def stored_schema(payload: T.StructType) -> T.StructType:
@@ -79,5 +84,6 @@ def stored_schema(payload: T.StructType) -> T.StructType:
         + [
             T.StructField(LSN_COL, T.LongType(), False),
             T.StructField(DELETED_COL, T.BooleanType(), False),
+            T.StructField(EPOCH_COL, T.LongType(), True),
         ]
     )

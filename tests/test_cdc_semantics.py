@@ -57,7 +57,9 @@ def test_upsert_creates_and_updates(spark, tmpdir_, mode):
 @pytest.mark.parametrize("mode", MODES)
 def test_delete_tombstone_blocks_resurrection(spark, tmpdir_, mode):
     """A late, lower-LSN update must NOT resurrect a deleted key."""
-    eng = CDCEngine(spark, os.path.join(tmpdir_, "t"), n_buckets=4, mode=mode)
+    eng = CDCEngine(
+        spark, os.path.join(tmpdir_, "t"), n_buckets=4, mode=mode, quarantine="eager"
+    )
     eng.apply_epoch(make_events(spark, [
         (1, 0, "I", "c1", 0, "user", "hello", None, 0, 0),
         (5, 0, "D", "c1", 0, None, None, None, None, 1),
