@@ -101,8 +101,20 @@ class CDCEngine:
 
         obs = Observation(f"events-in-{epoch}")
         events = events.observe(obs, *_count_alias())
+        from pyspark.sql import functions as F
+
+        pre_partitioned = self.mode == "mor"
+        if pre_partitioned:
+            # THE one exchange of the epoch: repartition(N, conv_id) with
+            # N = table bucket count and bucket = pmod(hash(conv_id), N)
+            # (see icelite.bucket_expr) both clusters rows for the
+            # latest-per-key reduce (conv_id ⊆ group key ⇒ no agg
+            # exchange) and lands each row in its bucket's partition
+            # (⇒ the bucketed delta write shuffles nothing)
+            events = events.repartition(
+                self.table.n_buckets(), F.col("conv_id")
+            )
         reduced = reduce_batch(events)
-        apply_fn = apply_delta_epoch if self.mode == "mor" else merge_epoch
         # MOR + lazy: per-epoch audit skipped; compaction extracts stale
         # rows from __epoch/__lsn (COW audits in the merge join anyway)
         eager_dir = (
@@ -110,13 +122,23 @@ class CDCEngine:
             if (self.quarantine == "eager" or self.mode == "cow")
             else None
         )
-        stats = apply_fn(
-            self.spark,
-            self.table,
-            reduced,
-            epoch,
-            quarantine_dir=eager_dir,
-        )
+        if self.mode == "mor":
+            stats = apply_delta_epoch(
+                self.spark,
+                self.table,
+                reduced,
+                epoch,
+                quarantine_dir=eager_dir,
+                pre_partitioned=True,
+            )
+        else:
+            stats = merge_epoch(
+                self.spark,
+                self.table,
+                reduced,
+                epoch,
+                quarantine_dir=eager_dir,
+            )
         if not stats.get("skipped"):
             stats["events_in"] = int(obs.get["events_in"])
             write_epoch_metrics(self.table, self.metrics_dir, stats)

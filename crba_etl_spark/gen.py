@@ -155,10 +155,12 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
     ).astype("timedelta64[us]")
     is_del = op == 2
 
+    # large_string throughout: pyarrow's conservative (4 B/char) capacity
+    # check rejects plain utf8 for >~70M rows even when actual bytes fit
     conv_id = pc.binary_join_element_wise(
-        pa.scalar("c"),
-        pc.utf8_lpad(pc.cast(pa.array(conv), pa.string()), 7, "0"),
-        pa.scalar(""),
+        pa.scalar("c", pa.large_string()),
+        pc.utf8_lpad(pc.cast(pa.array(conv), pa.large_string()), 7, "0"),
+        pa.scalar("", pa.large_string()),
     )
     filler = ""
     if spec.text_pad:
@@ -169,7 +171,7 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
     # large_string: total text bytes exceed the 2 GB int32-offset limit
     # of plain string arrays at >~7M padded rows
     pieces = [
-        pc.cast(conv_id, pa.large_string()),
+        conv_id,
         pa.scalar("turn", pa.large_string()),
         pc.cast(pa.array(turn), pa.large_string()),
         pa.scalar("rev", pa.large_string()),

@@ -51,13 +51,24 @@ from .schema import stored_schema
 
 BUCKET_COL = "__bucket"
 CURRENT = "CURRENT"
+#: identifier of the bucket function rows were written with — recorded in
+#: every snapshot so a table created under a different bucketing scheme
+#: refuses loudly instead of silently mis-assigning rows to buckets
+BUCKET_FN = "murmur3_pmod_v1"
 
 
 def bucket_expr(n_buckets: int, col: str = "conv_id"):
-    """Deterministic bucket id: pmod(xxhash64(conv_id), N) — Iceberg's
-    bucket transform shape. Computable from the key alone, so the bucket
-    never needs to be stored or reconstructed from paths."""
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    """Deterministic bucket id: pmod(hash(conv_id), N) — Iceberg's bucket
+    transform shape, using Spark's Murmur3 ``hash`` so the bucket function
+    is IDENTICAL to ``repartition(N, col(conv_id))``'s partition id.
+    That alignment lets the apply path do ONE exchange per epoch: the
+    repartition simultaneously satisfies the reduce's clustering
+    requirement (conv_id ⊆ group key) and lands every row in its bucket's
+    partition, so neither the aggregation nor the bucketed write shuffles
+    again (verified: pmod(hash(c),N) == spark_partition_id() for all rows).
+    Computable from the key alone, so the bucket never needs to be stored
+    or reconstructed from paths."""
+    return F.pmod(F.hash(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
 class IceliteTable:
@@ -77,7 +88,15 @@ class IceliteTable:
     ) -> "IceliteTable":
         if os.path.exists(os.path.join(root, CURRENT)):
             if not overwrite:
-                return cls(root)
+                t = cls(root)
+                fn = t.snapshot().get("bucket_fn", BUCKET_FN)
+                if fn != BUCKET_FN:
+                    raise ValueError(
+                        f"table at {root} was written with bucket function "
+                        f"{fn!r}; this engine uses {BUCKET_FN!r} — compact/"
+                        "rewrite the table before continuing"
+                    )
+                return t
             shutil.rmtree(root)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -139,6 +158,7 @@ class IceliteTable:
             "version": version,
             "schema": schema.jsonValue(),
             "key_cols": getattr(self, "_key_cols", None) or self.key_cols(),
+            "bucket_fn": BUCKET_FN,
             "n_buckets": n_buckets if n_buckets is not None else self.n_buckets(),
             "files": {str(k): v for k, v in files.items()},
             # merge-on-read delta files per bucket, in commit order;
@@ -222,24 +242,29 @@ class IceliteTable:
     # --- write path ------------------------------------------------------------
 
     def write_merged(
-        self, df: DataFrame, epoch: int, version: int
+        self, df: DataFrame, epoch: int, version: int, repartition: bool = True
     ) -> dict[int, list[str]]:
         """Write merged rows (must carry BUCKET_COL) for the affected
         buckets under a fresh, uniquely-named data dir. Idempotent on
         retry: a crashed attempt's dir is unreferenced and is removed
-        before rewrite."""
+        before rewrite.
+
+        ``repartition=False`` when the caller already clustered rows by
+        the bucket function (repartition(N, conv_id) — see bucket_expr):
+        the partitioned write then emits exactly one file per bucket with
+        no extra exchange."""
         rel = f"data/e{epoch:06d}-v{version:06d}"
         out = os.path.join(self.root, rel)
         if os.path.exists(out):
             shutil.rmtree(out)  # orphan from a crashed attempt — never referenced
-        n = self.n_buckets()
-        (
+        if repartition:
             # cluster rows by bucket before the partitioned write so each
             # commit emits ~one file per bucket instead of tasks×buckets
             # small files (a real cluster would raise files-per-bucket by
             # repartitioning on (bucket, salt) when buckets exceed task size)
-            df.repartition(n, F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
+            df = df.repartition(self.n_buckets(), F.col(BUCKET_COL))
+        (
+            df.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out)
         )

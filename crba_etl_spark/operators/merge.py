@@ -174,6 +174,7 @@ def apply_delta_epoch(
     reduced: DataFrame,
     epoch: int,
     quarantine_dir: str | None = None,
+    pre_partitioned: bool = False,
 ) -> dict:
     """Merge-on-read apply (the sustained-throughput path): write the
     reduced batch as per-bucket **delta files** and commit — nothing in
@@ -217,7 +218,9 @@ def apply_delta_epoch(
     )
 
     version = snap["version"] + 1
-    new_files = table.write_merged(delta, epoch=epoch, version=version)
+    new_files = table.write_merged(
+        delta, epoch=epoch, version=version, repartition=not pre_partitioned
+    )
     m = obs.get
 
     stale_count = 0
