@@ -339,6 +339,38 @@ class IceliteTable:
 
     # --- maintenance ---------------------------------------------------------
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg-style snapshot expiry: delete snapshot manifests older
+        than the newest ``keep_last`` and any data directory no longer
+        referenced by a surviving snapshot. Time-travel back to expired
+        versions is gone; the live view is untouched. Safe against crash:
+        manifests are deleted before data dirs, and an unreferenced dir
+        is also what a crashed commit leaves (cleaned the same way)."""
+        snap_dir = os.path.join(self.root, "snapshots")
+        names = sorted(os.listdir(snap_dir))
+        keep = set(names[-keep_last:])
+        with open(os.path.join(self.root, CURRENT)) as f:
+            keep.add(f.read().strip())
+        referenced: set[str] = set()
+        for name in keep:
+            with open(os.path.join(snap_dir, name)) as f:
+                s = json.load(f)
+            for src in (s["files"], s.get("deltas", {})):
+                for fl in src.values():
+                    referenced.update(p.split("/")[1] for p in fl)
+        removed_snaps = []
+        for name in names:
+            if name not in keep:
+                os.remove(os.path.join(snap_dir, name))
+                removed_snaps.append(name)
+        data_dir = os.path.join(self.root, "data")
+        removed_dirs = []
+        for d in sorted(os.listdir(data_dir)):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(data_dir, d))
+                removed_dirs.append(d)
+        return {"expired_snapshots": removed_snaps, "removed_data_dirs": removed_dirs}
+
     def compact(
         self,
         spark: SparkSession,

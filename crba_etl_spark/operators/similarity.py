@@ -94,6 +94,34 @@ def ivf_assign(
     return best.select(id_col, F.col("m.cell").alias("cell"), F.round("m.sim", 6).alias("cell_sim"))
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥ τ).
+
+    Exact all-pairs form (the verification oracle). At 100 TB you prune
+    candidates first — LSH over random hyperplane signs or the IVF cells
+    above — then run THIS join only on candidate pairs; the scoring
+    expression is identical either way.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,

@@ -745,6 +745,26 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family)."""
+    return similarity.cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+SQL_COSINE_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.4
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -787,4 +807,5 @@ def registry() -> dict[str, tuple]:
         "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ann_ivf_topk": (q_ivf_topk, None),
+        "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     }
