@@ -528,6 +528,80 @@ FROM events GROUP BY 1
 """
 
 
+def q_asof_last_click(spark, sf_dir):
+    """As-of join: for each purchase, the user's most recent click at or
+    before the purchase time (point-in-time correctness — an operator
+    Spark lacks natively; composed from union + window)."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        "value",
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_id", "value"],
+        tie_col="click_id",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        _ts_s("ts").alias("purchase_ts_s"),
+        F.col("asof_click_id").alias("last_click_id"),
+        F.col("asof_value").alias("last_click_value"),
+        (_ts_s("ts") - _ts_s("asof_ts")).alias("gap_s"),
+    )
+
+
+SQL_ASOF_LAST_CLICK = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id, value FROM events
+  WHERE event_type = 'click'
+)
+SELECT purchase_id, p.user_id, {_SQL_TS_S.format(c='p.ts')} AS purchase_ts_s,
+       click_id AS last_click_id, value AS last_click_value,
+       {_SQL_TS_S.format(c='p.ts')} - {_SQL_TS_S.format(c='click_ts')} AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
+"""
+
+
+def q_rollup_order_stats(spark, sf_dir):
+    """ROLLUP / grouping-sets aggregate with grouping indicators."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+SQL_ROLLUP_ORDER_STATS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # 3. training-data operators (documents / embeddings)
 
@@ -796,6 +870,8 @@ def registry() -> dict[str, tuple]:
         ),
         "union_drift": (q_union_drift, SQL_UNION_DRIFT),
         "value_map_encode": (q_value_map_encode, SQL_VALUE_MAP_ENCODE),
+        "asof_last_click": (q_asof_last_click, SQL_ASOF_LAST_CLICK),
+        "rollup_order_stats": (q_rollup_order_stats, SQL_ROLLUP_ORDER_STATS),
         "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
         "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
