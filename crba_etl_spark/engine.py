@@ -93,10 +93,26 @@ class CDCEngine:
 
     # --- single-epoch apply --------------------------------------------------
 
-    def apply_epoch(self, events: DataFrame, epoch: int) -> dict:
+    def apply_epoch(
+        self,
+        events: DataFrame,
+        epoch: int,
+        slice_marker: str | None = None,
+        mark_epoch: bool = True,
+    ) -> dict:
         """Dedup + reduce + merge + commit one epoch. No-op if the epoch
-        is already committed (exactly-once under redelivery)."""
-        if epoch in self.table.committed_epochs():
+        is already committed (exactly-once under redelivery).
+
+        ``slice_marker`` (streaming): the events are one micro-batch
+        slice of the epoch — idempotence keys on the marker, not the
+        epoch id, so an epoch whose files span micro-batches is applied
+        fully (each slice exactly once). ``mark_epoch=False`` keeps the
+        epoch id out of ``committed_epochs`` when the slice is not known
+        to complete the epoch."""
+        if slice_marker is not None:
+            if slice_marker in self.table.committed_slices():
+                return {"epoch": epoch, "skipped": True, "reason": "slice committed"}
+        elif epoch in self.table.committed_epochs():
             return {"epoch": epoch, "skipped": True, "reason": "already committed"}
 
         obs = Observation(f"events-in-{epoch}")
@@ -130,6 +146,8 @@ class CDCEngine:
                 epoch,
                 quarantine_dir=eager_dir,
                 pre_partitioned=True,
+                slice_marker=slice_marker,
+                mark_epoch=mark_epoch,
             )
         else:
             stats = merge_epoch(
@@ -138,9 +156,13 @@ class CDCEngine:
                 reduced,
                 epoch,
                 quarantine_dir=eager_dir,
+                slice_marker=slice_marker,
+                mark_epoch=mark_epoch,
             )
         if not stats.get("skipped"):
             stats["events_in"] = int(obs.get["events_in"])
+            if slice_marker is not None:
+                stats["slice"] = slice_marker
             write_epoch_metrics(self.table, self.metrics_dir, stats)
             self._applied_since_compact += 1
             self._maybe_compact()

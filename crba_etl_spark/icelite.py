@@ -139,6 +139,11 @@ class IceliteTable:
     def committed_epochs(self) -> set[int]:
         return set(self.snapshot()["committed_epochs"])
 
+    def committed_slices(self) -> set[str]:
+        """Markers of committed partial-epoch slices (streaming micro-
+        batches that carried only part of an epoch's files)."""
+        return set(self.snapshot().get("slices", []))
+
     def last_committed_epoch(self) -> int | None:
         eps = self.snapshot()["committed_epochs"]
         return max(eps) if eps else None
@@ -153,6 +158,7 @@ class IceliteTable:
         stats,
         n_buckets=None,
         deltas=None,
+        slices=None,
     ):
         snap = {
             "version": version,
@@ -165,6 +171,9 @@ class IceliteTable:
             # resolution is max-__lsn per key so order is informational
             "deltas": {str(k): v for k, v in (deltas or {}).items()},
             "committed_epochs": sorted(committed_epochs),
+            # partial-epoch slice markers (streaming): idempotence unit
+            # when one epoch's files span micro-batches
+            "slices": sorted(slices or []),
             "parent": parent,
             "stats": stats,
         }
@@ -280,6 +289,18 @@ class IceliteTable:
             )
         return new_files
 
+    @staticmethod
+    def _already_committed(snap: dict, epoch: int, slice_marker: str | None) -> bool:
+        """Idempotence predicate shared by both commit paths. Whole-epoch
+        commits dedupe on the epoch id; slice commits (streaming micro-
+        batches carrying part of an epoch) dedupe ONLY on their own
+        marker — an epoch id in ``committed_epochs`` must never suppress
+        a slice, because new files can join an epoch after it was first
+        seen (re-applying identical data is state-idempotent anyway)."""
+        if slice_marker is not None:
+            return slice_marker in set(snap.get("slices", []))
+        return epoch in set(snap["committed_epochs"])
+
     def commit(
         self,
         epoch: int,
@@ -287,12 +308,14 @@ class IceliteTable:
         affected: set[int],
         schema: T.StructType,
         stats: dict,
+        slice_marker: str | None = None,
+        mark_epoch: bool = True,
     ) -> dict:
         """Copy-on-write commit: swap in the new files for affected
         buckets (absorbing any deltas they had), carry over the rest,
         mark the epoch committed — atomically."""
         snap = self.snapshot()
-        if epoch in set(snap["committed_epochs"]):
+        if self._already_committed(snap, epoch, slice_marker):
             return snap  # already committed (raced redelivery) — no-op
         files = {int(k): v for k, v in snap["files"].items()}
         deltas = {int(k): v for k, v in snap.get("deltas", {}).items()}
@@ -300,14 +323,21 @@ class IceliteTable:
             files[b] = new_bucket_files.get(b, [])
             deltas.pop(b, None)  # rewritten base subsumes prior deltas
         version = snap["version"] + 1
+        epochs = set(snap["committed_epochs"])
+        if mark_epoch:
+            epochs |= {epoch}
+        slices = set(snap.get("slices", []))
+        if slice_marker is not None:
+            slices |= {slice_marker}
         self._write_snapshot(
             version=version,
             schema=schema,
             files=files,
-            committed_epochs=set(snap["committed_epochs"]) | {epoch},
+            committed_epochs=epochs,
             parent=snap["version"],
             stats=stats,
             deltas=deltas,
+            slices=slices,
         )
         return self.snapshot()
 
@@ -317,23 +347,32 @@ class IceliteTable:
         new_bucket_files: dict[int, list[str]],
         schema: T.StructType,
         stats: dict,
+        slice_marker: str | None = None,
+        mark_epoch: bool = True,
     ) -> dict:
         """Merge-on-read commit: append the epoch's delta files to each
         touched bucket; nothing is rewritten. Apply cost is O(batch)."""
         snap = self.snapshot()
-        if epoch in set(snap["committed_epochs"]):
+        if self._already_committed(snap, epoch, slice_marker):
             return snap
         deltas = {int(k): list(v) for k, v in snap.get("deltas", {}).items()}
         for b, fl in new_bucket_files.items():
             deltas.setdefault(b, []).extend(fl)
+        epochs = set(snap["committed_epochs"])
+        if mark_epoch:
+            epochs |= {epoch}
+        slices = set(snap.get("slices", []))
+        if slice_marker is not None:
+            slices |= {slice_marker}
         self._write_snapshot(
             version=snap["version"] + 1,
             schema=schema,
             files={int(k): v for k, v in snap["files"].items()},
-            committed_epochs=set(snap["committed_epochs"]) | {epoch},
+            committed_epochs=epochs,
             parent=snap["version"],
             stats=stats,
             deltas=deltas,
+            slices=slices,
         )
         return self.snapshot()
 
@@ -418,12 +457,16 @@ class IceliteTable:
                     "applied_lsn",
                 )
             )
-            stale.write.mode("append").parquet(
+            # overwrite (not append) into the version-named dir: a crash
+            # between this write and the snapshot commit makes the retry
+            # recompute the same version — overwrite keeps it idempotent
+            # instead of duplicating audit rows
+            stale.write.mode("overwrite").parquet(
                 os.path.join(quarantine_dir, f"compact-v{snap['version'] + 1:06d}")
             )
         if drop_tombstones:
             df = df.filter(~F.col("__deleted"))
-        df = df.withColumn(BUCKET_COL, bucket_expr(n))
+        df = df.withColumn(BUCKET_COL, bucket_expr(n, self.key_cols()[0]))
         version = snap["version"] + 1
         new_files = self.write_merged(df, epoch=-1, version=version)
         files = {int(k): v for k, v in snap["files"].items()}
@@ -439,5 +482,6 @@ class IceliteTable:
             parent=snap["version"],
             stats={"compaction": True, "buckets": sorted(buckets)},
             deltas=deltas,
+            slices=snap.get("slices", []),
         )
         return self.snapshot()

@@ -48,10 +48,17 @@ def _bucket_lineage(table, epoch: int, version: int) -> list[dict]:
 def write_epoch_metrics(table, metrics_dir: str, stats: dict) -> None:
     os.makedirs(os.path.join(metrics_dir, "lineage"), exist_ok=True)
     epoch = stats["epoch"]
-    with open(os.path.join(metrics_dir, f"epoch={epoch}.json"), "w") as f:
+    # a streaming slice is its own metrics row (several slices may apply
+    # parts of one epoch — don't overwrite each other's stats)
+    suffix = ""
+    if stats.get("slice"):
+        suffix = "." + str(stats["slice"]).replace(":", "_").replace("/", "_")
+    with open(os.path.join(metrics_dir, f"epoch={epoch}{suffix}.json"), "w") as f:
         json.dump(stats, f)
     lineage = _bucket_lineage(table, epoch, stats["version"])
-    with open(os.path.join(metrics_dir, "lineage", f"epoch={epoch}.json"), "w") as f:
+    with open(
+        os.path.join(metrics_dir, "lineage", f"epoch={epoch}{suffix}.json"), "w"
+    ) as f:
         json.dump(lineage, f)
 
 

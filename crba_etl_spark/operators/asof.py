@@ -54,17 +54,25 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        "*",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_asof_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_values
-        ],
+    # carry the WHOLE most-recent right row as one struct, not each value
+    # column independently: per-column last(..., ignorenulls=True) would
+    # backfill a NULL value in the newest right row from an older right
+    # row, mixing fields of different rows (diverges from ASOF semantics).
+    # The struct is non-null exactly for right rows — even when every
+    # value inside it is null — so one carried struct = one right row.
+    r_row = F.when(
+        F.col("_is_r") == 1,
+        F.struct(
+            F.col("_r_ts").alias("ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in right_values],
+        ),
     )
-    keep = [c for c in left.columns] + ["_asof_ts"] + [f"asof_{c}" for c in right_values]
-    return (
-        carried.filter(F.col("_is_r") == 0)
-        .select(*keep)
-        .withColumnRenamed("_asof_ts", "asof_ts")
+    carried = u.withColumn("_rrow", r_row).select(
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_m")
     )
+    keep = (
+        [c for c in left.columns]
+        + [F.col("_m.ts").alias("asof_ts")]
+        + [F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_values]
+    )
+    return carried.filter(F.col("_is_r") == 0).select(*keep)

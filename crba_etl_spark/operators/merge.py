@@ -34,7 +34,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from ..icelite import BUCKET_COL, IceliteTable, bucket_expr
-from ..schema import DELETED_COL, EPOCH_COL, KEY_COLS, LSN_COL, stored_schema
+from ..schema import DELETED_COL, EPOCH_COL, LSN_COL
 from .evolve import align_to, merge_schemas
 
 #: change-envelope columns that are not part of the stored payload
@@ -53,26 +53,34 @@ def merge_epoch(
     reduced: DataFrame,
     epoch: int,
     quarantine_dir: str | None = None,
+    slice_marker: str | None = None,
+    mark_epoch: bool = True,
 ) -> dict:
     """Apply one reduced batch (one row per key) to the table; commit
-    atomically with the epoch marker. Returns apply stats."""
+    atomically with the epoch marker. Returns apply stats.
+
+    ``slice_marker`` switches the idempotence unit from whole epoch to
+    this slice (streaming micro-batch carrying part of an epoch);
+    ``mark_epoch=False`` additionally withholds the epoch id from
+    ``committed_epochs`` so a later batch replay won't skip the rest."""
     snap = table.snapshot()
-    if epoch in set(snap["committed_epochs"]):
+    if IceliteTable._already_committed(snap, epoch, slice_marker):
         return {"epoch": epoch, "skipped": True, "reason": "already committed"}
 
     t0 = time.monotonic()
     n_buckets = table.n_buckets()
+    key_cols = table.key_cols()  # honor custom keys persisted in the snapshot
 
     # --- schema evolution: additive merge, batch aligned to evolved ----
     evolved = merge_schemas(table.schema(), batch_payload_schema(reduced))
-    payload_cols = [f.name for f in evolved.fields if f.name not in KEY_COLS]
+    payload_cols = [f.name for f in evolved.fields if f.name not in key_cols]
     batch = align_to(
         reduced,
         T.StructType(
             list(evolved.fields)
             + [f for f in reduced.schema.fields if f.name in ("op", "lsn")]
         ),
-    ).withColumn(BUCKET_COL, bucket_expr(n_buckets))
+    ).withColumn(BUCKET_COL, bucket_expr(n_buckets, key_cols[0]))
     batch = batch.persist()
 
     # --- partition pruning: only buckets the batch touches -------------
@@ -86,14 +94,14 @@ def merge_epoch(
 
     # --- the merge join -------------------------------------------------
     t, b = target.alias("t"), batch.alias("b")
-    j = t.join(b, on=KEY_COLS, how="full_outer")
+    j = t.join(b, on=key_cols, how="full_outer")
     has_batch = F.col("b.lsn").isNotNull()
     has_target = F.col(f"t.{LSN_COL}").isNotNull()
     take_batch = has_batch & (~has_target | (F.col("b.lsn") > F.col(f"t.{LSN_COL}")))
     stale = has_batch & has_target & ~take_batch
 
     merged = j.select(
-        *KEY_COLS,
+        *key_cols,
         *[
             F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             for c in payload_cols
@@ -118,7 +126,7 @@ def merge_epoch(
         F.coalesce(F.sum("_applied"), F.lit(0)).alias("applied"),
     )
     merged = merged.drop("_stale", "_applied").withColumn(
-        BUCKET_COL, bucket_expr(n_buckets)
+        BUCKET_COL, bucket_expr(n_buckets, key_cols[0])
     )
 
     version = snap["version"] + 1
@@ -133,7 +141,7 @@ def merge_epoch(
                 F.lit(epoch).alias("quarantine_epoch"),
                 F.col("b.lsn").alias("lsn"),
                 F.col("b.op").alias("op"),
-                *KEY_COLS,
+                *key_cols,
                 *[F.col(f"b.{c}").alias(c) for c in payload_cols],
                 F.col(f"t.{LSN_COL}").alias("applied_lsn"),
             )
@@ -163,6 +171,8 @@ def merge_epoch(
         affected=affected,
         schema=evolved,
         stats={k: v for k, v in stats.items() if k != "affected_buckets"},
+        slice_marker=slice_marker,
+        mark_epoch=mark_epoch,
     )
     batch.unpersist()
     return stats
@@ -175,6 +185,8 @@ def apply_delta_epoch(
     epoch: int,
     quarantine_dir: str | None = None,
     pre_partitioned: bool = False,
+    slice_marker: str | None = None,
+    mark_epoch: bool = True,
 ) -> dict:
     """Merge-on-read apply (the sustained-throughput path): write the
     reduced batch as per-bucket **delta files** and commit — nothing in
@@ -185,9 +197,11 @@ def apply_delta_epoch(
     If ``quarantine_dir`` is set, stale events (lsn ≤ already-applied lsn
     for the key) are additionally audited eagerly with a column-pruned
     scan of the affected buckets (reads only key + __lsn columns).
+
+    ``slice_marker``/``mark_epoch``: see :func:`merge_epoch`.
     """
     snap = table.snapshot()
-    if epoch in set(snap["committed_epochs"]):
+    if IceliteTable._already_committed(snap, epoch, slice_marker):
         return {"epoch": epoch, "skipped": True, "reason": "already committed"}
 
     t0 = time.monotonic()
@@ -208,7 +222,7 @@ def apply_delta_epoch(
         F.col("lsn").alias(LSN_COL),
         (F.col("op") == "D").alias(DELETED_COL),
         F.lit(epoch).cast("long").alias(EPOCH_COL),
-    ).withColumn(BUCKET_COL, bucket_expr(n_buckets))
+    ).withColumn(BUCKET_COL, bucket_expr(n_buckets, key_cols[0]))
 
     obs = Observation(f"delta-epoch-{epoch}")
     delta = delta.observe(
@@ -272,5 +286,7 @@ def apply_delta_epoch(
         new_bucket_files=new_files,
         schema=evolved,
         stats={k: v for k, v in stats.items() if k != "affected_buckets"},
+        slice_marker=slice_marker,
+        mark_epoch=mark_epoch,
     )
     return stats

@@ -20,6 +20,8 @@ form of this tail (editions = epochs) — SURVEY.md §2.9.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..engine import CDCEngine
@@ -57,22 +59,59 @@ def stream_apply(
     checkpoint_dir: str,
     available_now: bool = True,
     schema: T.StructType = CHANGE_EVENT,
+    max_files_per_trigger: int | None = None,
 ):
     """Run the tail through the engine. Returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in the source then
     stops (deterministic for tests/replays); ``False`` runs continuously.
+
+    Exactly-once when an epoch's files SPAN micro-batches (continuous
+    mode with files landing incrementally, or ``max_files_per_trigger``):
+    each (epoch, micro-batch) slice commits under its own slice marker,
+    so a partial first slice can never mark the whole epoch done and
+    starve later slices — and a retried micro-batch (foreachBatch is
+    at-least-once, with a stable batch_id on retry) is a no-op. The epoch
+    id itself is only recorded in ``committed_epochs`` when the slice
+    provably contains every file of the epoch currently on disk, so a
+    subsequent batch replay won't skip a partially-streamed epoch.
     """
-    tail = open_tail(spark, events_dir, schema=schema)
+    tail = open_tail(
+        spark, events_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _epoch_files_on_disk(k: int) -> set[str]:
+        d = os.path.join(events_dir, f"epoch={k}")
+        try:
+            return {f for f in os.listdir(d) if f.endswith(".parquet")}
+        except FileNotFoundError:
+            return set()
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # one micro-batch may span several epochs: apply each in order,
         # dropping all-null padding columns the fixed envelope added for
-        # pre-evolution files (schema evolution is re-detected per epoch)
-        epochs = [r[0] for r in batch.select("epoch").distinct().collect()]
-        for k in sorted(epochs):
+        # pre-evolution files (schema evolution is re-detected per epoch).
+        # The distinct (epoch, file) set is bounded by the number of
+        # source files in the batch — a driver-safe collect.
+        seen = (
+            batch.select("epoch", F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        )
+        files_in_batch: dict[int, set[str]] = {}
+        for r in seen:
+            files_in_batch.setdefault(int(r[0]), set()).add(
+                os.path.basename(r[1])
+            )
+        for k in sorted(files_in_batch):
             ev = batch.filter(F.col("epoch") == k)
-            engine.apply_epoch(ev, int(k))
+            complete = files_in_batch[k] >= _epoch_files_on_disk(k)
+            engine.apply_epoch(
+                ev,
+                int(k),
+                slice_marker=f"e{k}:b{batch_id}",
+                mark_epoch=complete,
+            )
 
     writer = (
         tail.writeStream.foreachBatch(apply_batch)
