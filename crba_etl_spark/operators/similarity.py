@@ -13,7 +13,27 @@ so the left-to-right summation is bit-identical to the DuckDB oracle's
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
+
+#: random-hyperplane LSH parameters (sign-bit signatures); shared with
+#: the SQL oracle through :func:`hyperplane` literals
+N_PLANES = 16
+E_BANDS = 4
+E_BITS_PER_BAND = N_PLANES // E_BANDS
+EMB_DIM = 64
+
+
+def hyperplane(j: int, dim: int = EMB_DIM) -> list[float]:
+    """Component d of hyperplane j = md5("hp:j:d") scaled to [-1, 1) —
+    deterministic, seedless, and portable: the planes are plain double
+    literals, so any engine (the DuckDB oracle included) reproduces the
+    identical signature."""
+    return [
+        int(hashlib.md5(f"hp:{j}:{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+        for d in range(dim)
+    ]
 
 
 def _as_double(col):
@@ -63,35 +83,87 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def _assign_cells(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(_id, cell): nearest centroid by cosine, tie → lower cell id.
+    Per-row argmax against broadcast centroid LITERALS — a projection
+    inside whole-stage codegen, zero shuffle, regardless of table size."""
+    structs = [
+        F.struct(
+            cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
+            F.lit(-cell).alias("negcell"),
+        )
+        for cell, cv in cents
+    ]
+    m = F.array_max(F.array(*structs))
+    return e.select("_id", (-m["negcell"]).cast("int").alias("cell"))
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    n_cells: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means over the embedding column, in
+    DataFrame ops. Init = the vectors with id < n_cells; per iteration:
+    (1) assign each vector to its most-cosine-similar centroid (per-row
+    argmax over broadcast literals — no shuffle), (2) recompute centroids
+    as per-dimension means via ``posexplode`` + two-phase hash agg with
+    DECIMAL-exact sums. Decimal addition is order-independent, so the
+    DuckDB oracle reproduces the centroids BIT-FOR-BIT (float sums would
+    diverge with partitioning). Only the K×D centroid matrix ever reaches
+    the driver — bounded, never data-sized.
+    Returns [(cell, centroid)] sorted by cell (empty cells drop out)."""
+    e = emb.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    init = (
+        e.filter(F.col("_id") < n_cells)
+        .select(F.col("_id").cast("int").alias("cell"), "v")
+        .collect()
+    )
+    cents = sorted((int(r["cell"]), list(r["v"])) for r in init)
+    for _ in range(iters):
+        assigned = _assign_cells(e, cents)
+        sums = (
+            assigned.join(e, "_id")
+            .select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            # float(Decimal) is correctly rounded == DuckDB's DECIMAL→
+            # DOUBLE cast; the double division then has identical operands
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                float(r["s"]) / int(r["n"])
+            )
+        cents = sorted(
+            (c, [d[i] for i in sorted(d)]) for c, d in by_cell.items()
+        )
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to the coarse cell whose centroid it is most
-    similar to. Centroids are the first ``n_cells`` vectors (deterministic
-    — a real system would k-means; the plumbing is identical). Output:
-    (id, cell, cos to centroid)."""
-    cents = (
-        emb.filter(F.col(id_col) < n_cells)
-        .select(
-            F.col(id_col).cast("int").alias("cell"),
-            _as_double(F.col(vec_col)).alias("cv"),
-        )
+    """(id, cell) assignment under k-means-fit centroids — at scale the
+    cell is the partition key the table is written under, so an ANN probe
+    scans exactly one cell's partitions."""
+    cents = kmeans_fit(emb, n_cells, iters, id_col, vec_col)
+    e = emb.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    scored = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "cell",
-            cosine(_as_double(F.col(vec_col)), F.col("cv")).alias("sim"),
-        )
-    )
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("sim"), F.col("cell"))).alias("m")
-    )
-    return best.select(id_col, F.col("m.cell").alias("cell"), F.round("m.sim", 6).alias("cell_sim"))
+    return _assign_cells(e, cents).withColumnRenamed("_id", id_col)
 
 
 def cosine_near_dup_pairs(
@@ -122,19 +194,110 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def hyperplane_bands(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band_idx, band_val) rows: the sign-bit signature over
+    ``N_PLANES`` deterministic random hyperplanes, grouped into
+    ``E_BANDS`` bands of ``E_BITS_PER_BAND`` bits each. One scan, pure
+    JVM arithmetic (``zip_with``/``aggregate`` dot products against
+    literal plane vectors) — a fixed-width row per vector."""
+    v = _as_double(F.col(vec_col))
+    band_structs = []
+    for b in range(E_BANDS):
+        val = None
+        for i in range(E_BITS_PER_BAND):
+            j = b * E_BITS_PER_BAND + i
+            plane = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
+            bit = (dot(v, plane) >= 0).cast("int") * (1 << i)
+            val = bit if val is None else val + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), val.alias("band_val"))
+        )
+    return emb.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.band_val")
+
+
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate candidate pairs by random-hyperplane LSH: vectors
+    sharing >= 1 of the 4 sign-bit bands. The join is an equi-join on
+    (band_idx, band_val) — bucketed, uniform keys — the same scale shape
+    as ``minhash_lsh_candidates``; NO all-pairs scan.
+
+    Parameter scaling (the shape is fixed; the widths grow with n):
+    bits-per-band should track log2(n) so per-bucket fan-out stays
+    bounded — 4 bits is right for the 500-vector test tables
+    (~n/16 per bucket); at 10^9 vectors use ~16-20-bit bands (more
+    planes), and add bands to recover recall (P[candidate] =
+    1-(1-p^r)^b for bit-agreement p = 1 - theta/pi). For NEAR-DUP
+    similarity (cos >= 0.9, p = 0.857) the 4x4 configuration already
+    detects ~95%%; measured recall on the synthetic tables is asserted
+    in tests and reported in COVERAGE.md.
+    Output: (id_a < id_b, n_shared_bands)."""
+    bands = hyperplane_bands(emb, dim, id_col, vec_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def cosine_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = EMB_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup, the 100 TB composition: hyperplane-LSH
+    candidates first (equi-join), exact cosine verification ONLY on the
+    candidate pairs (two broadcastable-side joins back to the vectors) —
+    the quadratic all-pairs join never happens. Recall vs the exact form
+    is measured in tests and reported in COVERAGE.md."""
+    cand = embedding_lsh_candidates(emb, dim, id_col, vec_col)
+    a = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
     k: int = 5,
     n_cells: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's IVF cell."""
-    assign = ivf_assign(emb, n_cells, id_col, vec_col)
-    with_cell = emb.join(assign.select(id_col, "cell"), id_col)
-    qcell = (
-        assign.filter(F.col(id_col) == query_vec_id).select("cell")
-    )
+    """Approximate top-k: k-means IVF, probing only the query's cell.
+    Exact within the probed cell; recall@k vs the exact ``cosine_topk``
+    is measured in tests and reported in COVERAGE.md. Deterministic end
+    to end (seedless init + decimal-exact Lloyd updates), so the DuckDB
+    oracle replays the identical centroids, assignment and result."""
+    assign = ivf_assign(emb, n_cells, iters, id_col, vec_col)
+    with_cell = emb.join(assign, id_col)
+    qcell = assign.filter(F.col(id_col) == query_vec_id).select("cell")
     candidates = with_cell.join(F.broadcast(qcell), "cell")
     return cosine_topk(candidates, query_vec_id, k, id_col, vec_col)

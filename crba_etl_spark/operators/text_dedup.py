@@ -15,7 +15,10 @@ Scale notes (100 TB):
   row per doc, candidates come from equi-joins on band hashes (uniform
   keys), and only candidates pay the verification join;
 - SimHash reduces each doc to one 32-bit value: near-dup = small Hamming
-  distance; bucket by prefix for sub-quadratic search.
+  distance; ``simhash_near_pairs`` buckets by 8-bit blocks (pigeonhole:
+  a pair within Hamming distance 3 agrees on >= 1 of the 4 blocks) so
+  the search is an equi-join, not an all-pairs scan — and it is COMPLETE
+  for radius <= 3.
 """
 
 from __future__ import annotations
@@ -74,6 +77,42 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to candidate pairs (id_a, id_b) —
+    the 100 TB composition: LSH generates candidates with uniform-key
+    equi-joins, and only those pairs pay the exact verification, so the
+    shingle join is bounded by |candidates|, never quadratic in the
+    posting-list length."""
+    sh = shingles(docs, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
@@ -153,3 +192,57 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         term = F.when(F.col(f"bs{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(id_col, sim.cast("long").alias("simhash"))
+
+
+#: 8-bit blocks of the 32-bit SimHash — the Hamming-search bucketing unit
+HAMMING_BLOCKS = 4
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """All pairs within SimHash Hamming distance ``max_hamming``, found
+    sub-quadratically: split the 32-bit signature into 4 byte blocks; by
+    pigeonhole any pair with <= 3 differing bits agrees on at least one
+    FULL block, so an equi-join on (block_idx, block_val) generates a
+    complete candidate set (uniform 8-bit keys — no skew), and
+    ``bit_count(xor)`` verifies the exact distance. COMPLETE (not
+    approximate) for ``max_hamming <= HAMMING_BLOCKS - 1``; at 100 TB the
+    join fan-out per bucket is n/1024 per block on average instead of n.
+    Output: (id_a < id_b, hamming)."""
+    if max_hamming > HAMMING_BLOCKS - 1:
+        raise ValueError(
+            f"completeness holds only for max_hamming <= {HAMMING_BLOCKS - 1}"
+        )
+    sig = simhash32(docs, id_col)
+    blocks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("block_idx"),
+                        F.shiftright("simhash", 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("block_val"),
+                    )
+                    for j in range(HAMMING_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, on=["block_idx", "block_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

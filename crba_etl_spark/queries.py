@@ -327,15 +327,20 @@ FROM r WHERE rn = 1
 """
 
 
+#: the TPC-H order priorities — static, so the pivot needs no extra
+#: distinct+collect job to discover its columns (the SQL oracle hardcodes
+#: the same list; at scale a value-discovery scan is a full extra pass)
+ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
 def q_orderpriority_pivot(spark, sf_dir):
     """RESHAPE-PIVOT (§2.8): long → wide with conditional counts."""
     o = load(spark, sf_dir, "orders")
-    prios = [r[0] for r in o.select("o_orderpriority").distinct().collect()]
     exprs = [
         F.sum((F.col("o_orderpriority") == p).cast("long")).alias(
             "n_" + p.split("-")[0].lower()
         )
-        for p in sorted(prios)
+        for p in ORDER_PRIORITIES
     ]
     return o.groupBy("o_orderstatus").agg(*exprs)
 
@@ -343,7 +348,7 @@ def q_orderpriority_pivot(spark, sf_dir):
 def _sql_orderpriority_pivot():
     # priorities are the TPC-H standard five; generated to keep both
     # sides aligned by name
-    ps = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    ps = ORDER_PRIORITIES
     cols = ",\n       ".join(
         f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
         f" AS n_{p.split('-')[0].lower()}"
@@ -679,22 +684,92 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     return text_dedup.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
 
 
-def _sql_minhash_lsh():
+def _sql_lsh_ctes():
+    """Shared CTE chain: shingles → hashes → MinHash sig → LSH bands →
+    candidate pairs (used by the candidates query and the verify query)."""
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(concat_ws(':', s{4*b}, s{4*b+1}, s{4*b+2}, s{4*b+3})) AS band_hash FROM sig"
         for b in range(text_dedup.N_BANDS)
     )
-    return f"""
-WITH {_SQL_SHINGLES}, {_sql_minhash_sig_cte()},
+    return f"""{_SQL_SHINGLES}, {_sql_minhash_sig_cte()},
 bands AS (
 {bands}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def _sql_minhash_lsh():
+    return f"WITH {_sql_lsh_ctes()} SELECT id_a, id_b, n_shared_bands FROM cand"
+
+
+def q_lsh_verified_pairs(spark, sf_dir):
+    """The composed scale path for text near-dup: MinHash+LSH generates
+    candidates (equi-join on band hashes), exact n-gram Jaccard verifies
+    ONLY those pairs — the verification join is bounded by |candidates|,
+    never quadratic in posting-list length."""
+    docs = load(spark, sf_dir, "documents")
+    cand = text_dedup.minhash_lsh_candidates(docs)
+    return text_dedup.jaccard_verify_pairs(docs, cand, threshold=0.35)
+
+
+def _sql_lsh_verified():
+    return f"""
+WITH {_sql_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-FROM bands a
-JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-            AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT id_a, id_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
+"""
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming-radius search, sub-quadratic (byte-block
+    bucketing); COMPLETE for radius 3 — the oracle computes the same set
+    quadratically."""
+    return text_dedup.simhash_near_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def _sql_simhash_near_pairs():
+    sums = ",\n         ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS bs{i}" for i in range(32)
+    )
+    val = " + ".join(
+        f"CASE WHEN bs{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+),
+s AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -814,25 +889,165 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF-probed approximate NN (no SQL oracle — rows-only check; the
-    exact-path cosine_topk above is the oracle-verified baseline)."""
-    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+    """IVF-probed approximate NN with k-means-trained centroids. Fully
+    deterministic (seedless init, decimal-exact Lloyd updates), so the
+    unrolled SQL below replays the identical training and probe."""
+    return similarity.ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, n_cells=4, iters=2
+    )
 
 
-def q_cosine_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (dedup family)."""
+def _sql_ann_ivf_topk(k_cells: int = 4, iters: int = 2, topk: int = 5) -> str:
+    """Unrolled Lloyd's k-means + IVF probe. Centroid means use
+    DECIMAL(28,12)-exact sums — order-independent, hence bit-identical
+    to the Spark side's kmeans_fit."""
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id::INT AS cell, v AS cv FROM e WHERE vec_id < {k_cells})",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"s{t} AS (SELECT e.vec_id, c{t}.cell, {sim('e.v', f'c{t}.cv')} AS sim "
+            f"FROM e, c{t})"
+        )
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM s{t}
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"m{t} AS (SELECT a{t}.cell, generate_subscripts(e.v, 1) AS dim, "
+            f"unnest(e.v) AS x FROM a{t} JOIN e USING (vec_id))"
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT cell, list(cm ORDER BY dim) AS cv FROM (
+    SELECT cell, dim, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cm
+    FROM m{t} GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+        )
+    parts.append(
+        f"sf AS (SELECT e.vec_id, c{iters}.cell, {sim('e.v', f'c{iters}.cv')} AS sim "
+        f"FROM e, c{iters})"
+    )
+    parts.append(
+        """af AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+    FROM sf
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT e.vec_id, round({sim('e.v', 'q.qv')}, 6) AS cos_sim
+FROM af JOIN e USING (vec_id), q
+WHERE af.cell = (SELECT cell FROM af WHERE vec_id = 0) AND e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT {topk}
+"""
+    )
+
+
+def q_cosine_near_dup_exact(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact all-pairs form — the
+    recall baseline the LSH path is measured against (quadratic; never
+    the production path at scale)."""
     return similarity.cosine_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
-SQL_COSINE_NEAR_DUP = """
+SQL_COSINE_NEAR_DUP_EXACT = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
              6) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.4
+"""
+
+
+def _sql_plane_lit(j: int) -> str:
+    return "[" + ", ".join(repr(x) for x in similarity.hyperplane(j)) + "]"
+
+
+def _sql_emb_lsh_ctes() -> str:
+    """Shared CTEs: doubles view → hyperplane sign-bit bands → candidate
+    pairs. Plane vectors are embedded as double literals (identical to
+    the Spark side by construction — see similarity.hyperplane)."""
+    band_selects = []
+    for b in range(similarity.E_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane_lit(b * similarity.E_BITS_PER_BAND + i)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(similarity.E_BITS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_idx, CAST({terms} AS INT) AS band_val FROM e"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, count(*) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)"""
+
+
+def q_embedding_lsh_candidates(spark, sf_dir):
+    """Random-hyperplane LSH candidate pairs over the embedding column —
+    the candidate generator that makes embedding near-dup sub-quadratic."""
+    return similarity.embedding_lsh_candidates(load(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_lsh():
+    return (
+        f"WITH {_sql_emb_lsh_ctes()} SELECT id_a, id_b, n_shared_bands FROM cand"
+    )
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding near-dup, scale path: hyperplane-LSH candidates + exact
+    cosine verify on candidates only (no all-pairs join anywhere)."""
+    return similarity.cosine_near_dup_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def _sql_cosine_near_dup_lsh():
+    return f"""
+WITH {_sql_emb_lsh_ctes()}
+SELECT id_a, id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM cand
+JOIN e a ON a.vec_id = id_a
+JOIN e b ON b.vec_id = id_b
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
             6) >= 0.4
@@ -876,12 +1091,16 @@ def registry() -> dict[str, tuple]:
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
         "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
+        "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
         "simhash": (q_simhash, _sql_simhash()),
+        "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_near_pairs()),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-        "ann_ivf_topk": (q_ivf_topk, None),
-        "cosine_near_dup": (q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
+        "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf_topk()),
+        "embedding_lsh_candidates": (q_embedding_lsh_candidates, _sql_embedding_lsh()),
+        "cosine_near_dup": (q_cosine_near_dup, _sql_cosine_near_dup_lsh()),
+        "cosine_near_dup_exact": (q_cosine_near_dup_exact, SQL_COSINE_NEAR_DUP_EXACT),
     }
