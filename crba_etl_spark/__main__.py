@@ -19,6 +19,8 @@ Commands:
     compact  --table DIR [--drop-tombstones]
     check    --table DIR [--report DIR]        (invariant suite → quality_report)
     metrics  --table DIR                       (print per-epoch apply stats)
+    diff     --table DIR --from V [--to V] [--out DIR] [--show N]
+             (time-travel diff of two snapshot versions: adds/drops/changes)
 """
 
 from __future__ import annotations
@@ -57,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("metrics")
     common(p)
+
+    p = sub.add_parser("diff")
+    common(p)
+    p.add_argument("--from", dest="v_from", type=int, required=True)
+    p.add_argument("--to", dest="v_to", type=int, default=None)
+    p.add_argument("--out", default=None, help="write full diff rows as parquet")
+    p.add_argument("--show", type=int, default=0, help="print first N diff rows")
 
     args = ap.parse_args(argv)
 
@@ -108,6 +117,25 @@ def main(argv: list[str] | None = None) -> int:
         from .metrics import load_metrics
 
         load_metrics(spark, engine.metrics_dir).orderBy("epoch").show(100, False)
+    elif args.cmd == "diff":
+        from .operators.diff import diff_summary, snapshot_diff
+
+        d = snapshot_diff(spark, engine.table, args.v_from, args.v_to)
+        if args.out:
+            d.write.mode("overwrite").parquet(args.out)
+        if args.show:
+            d.show(args.show, False)
+        print(
+            json.dumps(
+                {
+                    "from": args.v_from,
+                    "to": args.v_to
+                    if args.v_to is not None
+                    else engine.table.snapshot()["version"],
+                    **diff_summary(d),
+                }
+            )
+        )
     return 0
 
 

@@ -124,6 +124,25 @@ class IceliteTable:
         with open(os.path.join(self.root, "snapshots", name)) as f:
             return json.load(f)
 
+    def snapshot_at(self, version: int | None = None) -> dict:
+        """Manifest of a specific version (time travel) — or the live one.
+        Raises FileNotFoundError if the version was expired."""
+        if version is None:
+            return self.snapshot()
+        with open(
+            os.path.join(self.root, "snapshots", f"snapshot-{version:06d}.json")
+        ) as f:
+            return json.load(f)
+
+    def versions(self) -> list[int]:
+        """All retained snapshot versions, oldest first."""
+        d = os.path.join(self.root, "snapshots")
+        return sorted(
+            int(n[len("snapshot-"):-len(".json")])
+            for n in os.listdir(d)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.snapshot()["schema"])
 
@@ -195,9 +214,12 @@ class IceliteTable:
     # --- read path -----------------------------------------------------------
 
     def data_files(
-        self, buckets: set[int] | None = None, include_deltas: bool = True
+        self,
+        buckets: set[int] | None = None,
+        include_deltas: bool = True,
+        version: int | None = None,
     ) -> list[str]:
-        snap = self.snapshot()
+        snap = self.snapshot_at(version)
         out: list[str] = []
         sources = [snap["files"]]
         if include_deltas:
@@ -213,13 +235,16 @@ class IceliteTable:
         spark: SparkSession,
         buckets: set[int] | None = None,
         schema: T.StructType | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Raw stored rows (payload + __lsn/__deleted incl. tombstones) of
         the given buckets, projected to the current (or an explicitly
         evolved) payload schema — missing columns in old files read back
-        as null."""
-        schema = stored_schema(schema if schema is not None else self.schema())
-        paths = self.data_files(buckets)
+        as null. ``version`` time-travels to a retained snapshot."""
+        if schema is None:
+            schema = T.StructType.fromJson(self.snapshot_at(version)["schema"])
+        schema = stored_schema(schema)
+        paths = self.data_files(buckets, version=version)
         if not paths:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
@@ -229,11 +254,12 @@ class IceliteTable:
         spark: SparkSession,
         buckets: set[int] | None = None,
         schema: T.StructType | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Stored rows with merge-on-read resolution applied: one row per
         key (max-__lsn wins over base ∪ deltas), tombstones included."""
-        df = self.read_stored(spark, buckets=buckets, schema=schema)
-        snap = self.snapshot()
+        df = self.read_stored(spark, buckets=buckets, schema=schema, version=version)
+        snap = self.snapshot_at(version)
         touched = snap.get("deltas", {})
         if buckets is not None:
             touched = {b: v for b, v in touched.items() if int(b) in buckets}
@@ -243,10 +269,16 @@ class IceliteTable:
 
         return reduce_latest(df, key_cols=self.key_cols(), order_col="__lsn")
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """The live table: visible (non-tombstone) rows, payload columns."""
-        cols = [f.name for f in self.schema().fields]
-        return self.read_resolved(spark).filter(~F.col("__deleted")).select(*cols)
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The table's visible (non-tombstone) rows, payload columns —
+        live by default, or as of a retained snapshot ``version``."""
+        snap = self.snapshot_at(version)
+        cols = [f["name"] for f in snap["schema"]["fields"]]
+        return (
+            self.read_resolved(spark, version=version)
+            .filter(~F.col("__deleted"))
+            .select(*cols)
+        )
 
     # --- write path ------------------------------------------------------------
 

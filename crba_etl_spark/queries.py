@@ -73,13 +73,10 @@ FROM ranked WHERE rn = 1
 """
 
 
-def q_cdc_replay_reduce(spark, sf_dir):
-    """Flagship shape: map the events table to a change stream over
-    transcripts(conv_id, turn_idx, ...) and reduce it to final state —
-    the engine's dedup+reduce+tombstone-filter path as one declarative
-    plan (the full engine incl. table commits runs in entry())."""
-    ev = load(spark, sf_dir, "events")
-    cdc = ev.select(
+def _events_cdc(ev: DataFrame) -> DataFrame:
+    """The deterministic events→change-stream mapping shared by the
+    replay-reduce and snapshot-diff queries (and __spark_entry__)."""
+    return ev.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "signup", "I")
         .when(F.col("event_type") == "error", "D")
@@ -96,6 +93,14 @@ def q_cdc_replay_reduce(spark, sf_dir):
         F.when(F.col("event_type") == "click", "browser").alias("tool"),
         F.col("ts"),
     )
+
+
+def q_cdc_replay_reduce(spark, sf_dir):
+    """Flagship shape: map the events table to a change stream over
+    transcripts(conv_id, turn_idx, ...) and reduce it to final state —
+    the engine's dedup+reduce+tombstone-filter path as one declarative
+    plan (the full engine incl. table commits runs in entry())."""
+    cdc = _events_cdc(load(spark, sf_dir, "events"))
     final = reduce_latest(cdc, key_cols=["conv_id", "turn_idx"], order_col="lsn")
     return final.filter(F.col("op") != "D").select(
         "conv_id", "turn_idx", "role", "text", "tool",
@@ -103,8 +108,7 @@ def q_cdc_replay_reduce(spark, sf_dir):
     )
 
 
-SQL_CDC_REPLAY_REDUCE = f"""
-WITH cdc AS (
+_SQL_CDC_CTE = """cdc AS (
   SELECT event_id AS lsn,
          CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
               WHEN 'purchase' THEN 'UPSERT' ELSE 'U' END AS op,
@@ -115,12 +119,78 @@ WITH cdc AS (
          CASE WHEN event_type = 'click' THEN 'browser' END AS tool,
          ts
   FROM events
-), ranked AS (
+)"""
+
+SQL_CDC_REPLAY_REDUCE = f"""
+WITH {_SQL_CDC_CTE}, ranked AS (
   SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
   FROM cdc
 )
 SELECT conv_id, turn_idx, role, text, tool, {_SQL_TS_S.format(c='ts')} AS ts_s, lsn
 FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_snapshot_diff_events(spark, sf_dir):
+    """Cross-run snapshot diff (the reference's final-file comparison,
+    SURVEY §3.3): the transcript state as of the half-LSN cutoff vs the
+    fully-replayed state, per key — added / dropped / changed with old
+    and new values. Expressed with the generic table_diff operator (one
+    full-outer equi-join on the key); the icelite time-travel variant
+    (snapshot_diff over two retained versions) is pytest-verified."""
+    from .operators.diff import table_diff
+
+    cdc = _events_cdc(load(spark, sf_dir, "events"))
+    cut = cdc.agg(F.floor(F.max("lsn") / 2).cast("long").alias("c"))
+    old_state = (
+        reduce_latest(
+            cdc.crossJoin(F.broadcast(cut)).filter(F.col("lsn") <= F.col("c")),
+            key_cols=["conv_id", "turn_idx"],
+            order_col="lsn",
+        )
+        .filter(F.col("op") != "D")
+        .select("conv_id", "turn_idx", "lsn", "text")
+    )
+    new_state = (
+        reduce_latest(cdc, key_cols=["conv_id", "turn_idx"], order_col="lsn")
+        .filter(F.col("op") != "D")
+        .select("conv_id", "turn_idx", "lsn", "text")
+    )
+    d = table_diff(
+        old_state, new_state, ["conv_id", "turn_idx"], compare_cols=["lsn", "text"]
+    )
+    return d.select(
+        "conv_id", "turn_idx", "status", "old_lsn", "new_lsn", "old_text", "new_text"
+    )
+
+
+SQL_SNAPSHOT_DIFF_EVENTS = f"""
+WITH {_SQL_CDC_CTE},
+cut AS (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) AS c FROM cdc),
+old_r AS (
+  SELECT cdc.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM cdc, cut WHERE lsn <= c
+),
+old_s AS (SELECT conv_id, turn_idx, lsn, text FROM old_r WHERE rn = 1 AND op <> 'D'),
+new_r AS (
+  SELECT cdc.*, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM cdc
+),
+new_s AS (SELECT conv_id, turn_idx, lsn, text FROM new_r WHERE rn = 1 AND op <> 'D'),
+d AS (
+  SELECT coalesce(o.conv_id, n.conv_id) AS conv_id,
+         coalesce(o.turn_idx, n.turn_idx) AS turn_idx,
+         CASE WHEN o.lsn IS NULL THEN 'added'
+              WHEN n.lsn IS NULL THEN 'dropped'
+              WHEN o.lsn IS DISTINCT FROM n.lsn
+                OR o.text IS DISTINCT FROM n.text THEN 'changed'
+         END AS status,
+         o.lsn AS old_lsn, n.lsn AS new_lsn,
+         o.text AS old_text, n.text AS new_text
+  FROM old_s o
+  FULL OUTER JOIN new_s n ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+)
+SELECT * FROM d WHERE status IS NOT NULL
 """
 
 
@@ -607,6 +677,77 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_resolve_dirty_keys(spark, sf_dir):
+    """Fuzzy country/key resolution (the reference's free-text country
+    name → canonical code mapping over a synonym table): dirty inbound
+    names — case drift, padding, punctuation, colloquial aliases, and
+    genuinely unknown strings — resolved against the nation universe in
+    two broadcast tiers (normalized-canonical, then synonym), unknowns
+    kept and labeled. Dirty inputs are derived deterministically from
+    customer × nation so the oracle replays them exactly."""
+    from .operators.resolve import resolve_keys
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    pm = F.col("c_custkey") % 4
+    raw = (
+        F.when(pm == 0, F.col("n_name"))
+        .when(pm == 1, F.concat(F.lit("  "), F.lower("n_name"), F.lit("  ")))
+        .when(pm == 2, F.concat(F.lit("@"), F.reverse(F.lower(F.col("n_name")))))
+        .otherwise(
+            F.concat(F.lit("unknown-land-"), (F.col("c_custkey") % 3).cast("string"))
+        )
+    )
+    dirty = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", raw.alias("raw_name")
+    )
+    synonyms = n.select(
+        F.concat(F.lit("@"), F.reverse(F.lower(F.col("n_name")))).alias("alias"),
+        F.col("n_name").alias("canonical"),
+    )
+    r = resolve_keys(
+        dirty, "raw_name", canonical=n, canon_col="n_name", synonyms=synonyms
+    )
+    return r.groupBy("resolved", "method").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+SQL_RESOLVE_DIRTY_KEYS = f"""
+WITH dirty AS (
+  SELECT c_custkey,
+         CASE (c_custkey % 4)
+           WHEN 0 THEN n_name
+           WHEN 1 THEN '  ' || lower(n_name) || '  '
+           WHEN 2 THEN '@' || reverse(lower(n_name))
+           ELSE 'unknown-land-' || (c_custkey % 3)::VARCHAR
+         END AS raw_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+canon AS (
+  SELECT DISTINCT {_SQL_NORM.format(c='n_name')} AS norm, n_name AS canon FROM nation
+),
+syn AS (
+  SELECT DISTINCT {_SQL_NORM.format(c="'@' || reverse(lower(n_name))")} AS norm,
+         n_name AS canon
+  FROM nation
+),
+r AS (
+  SELECT coalesce(c.canon, s.canon) AS resolved,
+         CASE WHEN c.canon IS NOT NULL THEN 'canonical'
+              WHEN s.canon IS NOT NULL THEN 'synonym'
+              ELSE 'unresolved' END AS method
+  FROM dirty d
+  LEFT JOIN canon c ON {_SQL_NORM.format(c='d.raw_name')} = c.norm
+  LEFT JOIN syn s ON {_SQL_NORM.format(c='d.raw_name')} = s.norm
+)
+SELECT resolved, method, count(*) AS n FROM r GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # 3. training-data operators (documents / embeddings)
 
@@ -1063,6 +1204,7 @@ def registry() -> dict[str, tuple]:
     return {
         "cdc_latest_per_key": (q_cdc_latest_per_key, SQL_CDC_LATEST_PER_KEY),
         "cdc_replay_reduce": (q_cdc_replay_reduce, SQL_CDC_REPLAY_REDUCE),
+        "snapshot_diff_events": (q_snapshot_diff_events, SQL_SNAPSHOT_DIFF_EVENTS),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
         "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
         "dedup_exact_events": (q_dedup_exact_events, SQL_DEDUP_EXACT_EVENTS),
@@ -1086,6 +1228,7 @@ def registry() -> dict[str, tuple]:
         "union_drift": (q_union_drift, SQL_UNION_DRIFT),
         "value_map_encode": (q_value_map_encode, SQL_VALUE_MAP_ENCODE),
         "asof_last_click": (q_asof_last_click, SQL_ASOF_LAST_CLICK),
+        "resolve_dirty_keys": (q_resolve_dirty_keys, SQL_RESOLVE_DIRTY_KEYS),
         "rollup_order_stats": (q_rollup_order_stats, SQL_ROLLUP_ORDER_STATS),
         "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
