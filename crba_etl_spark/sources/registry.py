@@ -91,9 +91,17 @@ def _pandas_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     """
     import glob as _glob
 
+    import pandas as _pd
+
     if spec.schema is None:
         raise ValueError("pandas_files requires an explicit schema")
     parser_name = spec.options.get("parser", "read_csv")
+    # fail at PLAN time for a typo'd parser name, not inside an executor
+    if not callable(getattr(_pd, parser_name, None)):
+        raise ValueError(
+            f"unknown pandas parser {parser_name!r} "
+            "(expected a pandas reader such as read_csv/read_excel/read_stata)"
+        )
     parser_kwargs = {
         k: v for k, v in spec.options.items() if k not in ("parser",)
     }
@@ -102,6 +110,7 @@ def _pandas_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         max(len(files), 1)
     )
     schema = spec.schema
+    wanted = [f.name for f in schema.fields]
 
     def parse(batches):
         import pandas as pd
@@ -109,8 +118,23 @@ def _pandas_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         parser = getattr(pd, parser_name)
         for pdf in batches:
             for p in pdf["path"]:
-                out = parser(p, **parser_kwargs)
-                yield out[[f.name for f in schema.fields]]
+                try:
+                    out = parser(p, **parser_kwargs)
+                except ImportError as e:
+                    # surface optional-engine gaps (openpyxl etc.) clearly
+                    # instead of a bare worker traceback
+                    raise RuntimeError(
+                        f"pandas parser {parser_name!r} needs an optional "
+                        f"dependency that is missing on the workers while "
+                        f"reading {p}: {e}"
+                    ) from e
+                missing = [c for c in wanted if c not in out.columns]
+                if missing:
+                    raise ValueError(
+                        f"{p}: parsed columns {list(out.columns)} lack "
+                        f"declared schema columns {missing}"
+                    )
+                yield out[wanted]
 
     return fdf.mapInPandas(parse, schema=schema)
 
