@@ -59,11 +59,7 @@ HEADLINE = [
 ]
 
 
-def stream_dir() -> str:
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"crba_bench_stream_v2_{REPLAY_EVENTS}_{REPLAY_EPOCHS}_{TEXT_PAD}",
-    )
+def _gen_stream(d: str, n_events: int, n_epochs: int, evolve: int | None) -> str:
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         from crba_etl_spark.gen import StreamSpec, generate_stream
@@ -72,14 +68,41 @@ def stream_dir() -> str:
             d,
             StreamSpec(
                 seed=42,
-                n_events=REPLAY_EVENTS,
-                n_epochs=REPLAY_EPOCHS,
-                evolve_epoch=REPLAY_EPOCHS // 2,
+                n_events=n_events,
+                n_epochs=n_epochs,
+                evolve_epoch=evolve,
                 text_pad=TEXT_PAD,
             ),
         )
         open(marker, "w").write("ok")
+        # flush writeback NOW: measured in round 1, letting the freshly
+        # generated GBs drain to disk DURING the first timed epochs cut
+        # their apply rate 4-7x (the epoch-rate spread in BENCH_r01)
+        os.sync()
     return d
+
+
+def stream_dir() -> str:
+    return _gen_stream(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"crba_bench_stream_v2_{REPLAY_EVENTS}_{REPLAY_EPOCHS}_{TEXT_PAD}",
+        ),
+        REPLAY_EVENTS,
+        REPLAY_EPOCHS,
+        REPLAY_EPOCHS // 2,
+    )
+
+
+def warmup_stream_dir() -> str:
+    """A small single-epoch stream used to JIT the whole apply path
+    (codegen, Arrow, parquet writer) before the timed run."""
+    return _gen_stream(
+        os.path.join(tempfile.gettempdir(), f"crba_bench_warmup_{TEXT_PAD}"),
+        1_000_000,
+        1,
+        None,
+    )
 
 
 def run_replay(spark, table_root: str) -> dict:
@@ -115,9 +138,19 @@ def replay_only(cpus: int, as_json: bool) -> dict:
     # disk writeback of earlier runs (measured: run-to-run variance up to
     # 3x on /tmp from host-level writeback stalls); noted in BENCH/BASELINE.md
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    import shutil as _sh
+
+    # untimed JIT warmup epoch (see full_bench); the scaling estimator
+    # additionally drops each run's first timed epoch
+    from crba_etl_spark.engine import CDCEngine
+
+    warm = os.path.join(base, f"crba_bench_warmup_table_{cpus}")
+    _sh.rmtree(warm, ignore_errors=True)
+    CDCEngine(spark, warm, n_buckets=32, mode="mor").replay(warmup_stream_dir())
+    _sh.rmtree(warm, ignore_errors=True)
+
     root = os.path.join(base, f"crba_bench_table_{cpus}")
     res = run_replay(spark, root)
-    import shutil as _sh
 
     _sh.rmtree(root, ignore_errors=True)
     os.system("sync")
@@ -143,8 +176,23 @@ def full_bench() -> None:
 
     import __spark_entry__ as entrymod
 
+    # SAME tuned I/O config as replay_only (round-1 lesson: the default
+    # path ran 4.6x slower than the tuned one purely from /tmp-disk
+    # writeback of the table + shuffle files — tmpfs isolates compute
+    # from background writeback; 16m split parallelizes the ~40MB
+    # ingest files; 2 waves/stage absorbs stragglers)
     spark = get_spark(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * int(CPUS),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            **(
+                {"spark.local.dir": "/dev/shm/crba_spark_local_bench"}
+                if os.path.isdir("/dev/shm")
+                else {}
+            ),
+        },
     )
     queries = entrymod.queries()
     timings: dict[str, float] = {}
@@ -152,9 +200,25 @@ def full_bench() -> None:
     # 1. CDC replay throughput (the headline metric); materialize the
     # cached stream BEFORE the clock starts (generator time is not apply)
     stream_dir()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    # JIT warmup: one small untimed epoch through the identical apply
+    # path — fresh-JVM codegen compilation otherwise depresses the first
+    # 1-2 timed epochs 3-6x (sustained != cold-start; the 10^10-event
+    # target runs for hours, so steady-state is the honest number)
+    import shutil as _sh
+
+    warm_root = os.path.join(base, "crba_bench_warmup_table")
+    from crba_etl_spark.engine import CDCEngine
+
+    _sh.rmtree(warm_root, ignore_errors=True)
+    CDCEngine(spark, warm_root, n_buckets=32, mode="mor").replay(warmup_stream_dir())
+    _sh.rmtree(warm_root, ignore_errors=True)
+
+    table_root = os.path.join(base, "crba_bench_table")
     t0 = time.monotonic()
-    res = run_replay(spark, os.path.join(tempfile.gettempdir(), "crba_bench_table"))
+    res = run_replay(spark, table_root)
     timings["cdc_replay_apply"] = round(time.monotonic() - t0, 3)
+    _sh.rmtree(table_root, ignore_errors=True)
 
     # 2. operator queries at the bench SF
     sf = SF_DIR.rstrip("/").split("sf")[-1]
