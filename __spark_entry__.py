@@ -6,9 +6,9 @@ entry():   flagship — map the sf0.001 events table to a CDC change stream
            and return the reconstructed final transcript state.
 queries(): one entry per implemented operator from SURVEY.md §2 +
            training-data ops (dedup / similarity / text analysis).
-oracle_sql(): exact DuckDB SQL for each query (omitted only for the
-           approximate-ANN variant, which gets the rows-only check; its
-           exact baseline `cosine_topk` is oracle-verified).
+oracle_sql(): exact DuckDB SQL for EVERY query — including the k-means
+           IVF ANN (deterministic decimal-exact Lloyd's, unrolled in
+           SQL) and the hyperplane-LSH paths (literal plane vectors).
 """
 
 from __future__ import annotations

@@ -86,7 +86,9 @@ def stream_dir() -> str:
     return _gen_stream(
         os.path.join(
             tempfile.gettempdir(),
-            f"crba_bench_stream_v2_{REPLAY_EVENTS}_{REPLAY_EPOCHS}_{TEXT_PAD}",
+            # v3: generator fix — duplicates straddling the evolution
+            # boundary now carry their original (pre-evolution) payload
+            f"crba_bench_stream_v3_{REPLAY_EVENTS}_{REPLAY_EPOCHS}_{TEXT_PAD}",
         ),
         REPLAY_EVENTS,
         REPLAY_EPOCHS,

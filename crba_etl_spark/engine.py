@@ -50,6 +50,7 @@ class CDCEngine:
         mode: str = "mor",
         compact_every: int | None = None,
         max_deltas_per_bucket: int = 16,
+        max_delta_bytes_per_bucket: int | None = None,
     ):
         """``mode`` picks the apply strategy (both yield identical final
         state; both are tested against the same oracle):
@@ -57,8 +58,12 @@ class CDCEngine:
         - ``"mor"`` (merge-on-read, default): each epoch appends per-bucket
           delta files — apply cost O(batch) regardless of table size; reads
           resolve max-LSN per key; compaction folds deltas into the base
-          when a bucket accumulates ``max_deltas_per_bucket`` delta files
-          (or every ``compact_every`` epochs if set).
+          when a bucket accumulates ``max_deltas_per_bucket`` delta files,
+          ``max_delta_bytes_per_bucket`` delta bytes (size-tiered — epochs
+          vary in size, so a byte threshold tracks actual read
+          amplification where a file count cannot), or every
+          ``compact_every`` epochs if set. All three are driver-local
+          metadata checks (manifest + file sizes), zero Spark jobs.
         - ``"cow"`` (copy-on-write): each epoch eagerly merges and rewrites
           the affected buckets — reads are pure scans, but apply cost grows
           with table size. Right when batches are huge relative to the
@@ -84,6 +89,7 @@ class CDCEngine:
         self.quarantine = quarantine or None
         self.compact_every = compact_every
         self.max_deltas_per_bucket = max_deltas_per_bucket
+        self.max_delta_bytes_per_bucket = max_delta_bytes_per_bucket
         self.table = IceliteTable.create(table_root, payload_schema, n_buckets)
         self.quarantine_dir = (
             os.path.join(table_root, "quarantine") if quarantine else None
@@ -180,6 +186,15 @@ class CDCEngine:
             due = any(
                 len(v) >= self.max_deltas_per_bucket for v in deltas.values()
             )
+            if not due and self.max_delta_bytes_per_bucket is not None:
+                due = any(
+                    sum(
+                        os.path.getsize(os.path.join(self.table.root, f))
+                        for f in v
+                    )
+                    >= self.max_delta_bytes_per_bucket
+                    for v in deltas.values()
+                )
         if due:
             self.compact()
 

@@ -183,19 +183,32 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
     del_mask = pa.array(is_del)
     text = pc.if_else(del_mask, pa.scalar(None, pa.large_string()), text)
 
+    epoch = (np.arange(total, dtype=np.int64) * spec.n_epochs) // total
+
     role_idx, tool_idx = _role_idx(conv, turn)
     role = pa.DictionaryArray.from_arrays(
         pa.array(role_idx, mask=is_del), pa.array(_ROLE_DICT)
     )
+    tool_mask = is_del | (tool_idx < 0)
+    if spec.evolve_epoch is not None:
+        # a redelivered record carries its ORIGINAL serialization: an
+        # event first emitted before the schema evolution has no `tool`
+        # field, so a duplicate of it delivered after the boundary must
+        # still read tool=NULL (otherwise two copies of one LSN differ in
+        # payload and any max-LSN tie-break — engine's or oracle's —
+        # becomes nondeterministic; observed as a real divergence when a
+        # duplicate straddled the boundary)
+        first_slot = np.full(n + 1, total, dtype=np.int64)
+        np.minimum.at(first_slot, lsn, np.arange(total, dtype=np.int64))
+        emit_epoch = epoch[first_slot[lsn]]
+        tool_mask = tool_mask | (emit_epoch < spec.evolve_epoch)
     tool = pa.DictionaryArray.from_arrays(
         pa.array(
             np.where(tool_idx < 0, 0, tool_idx).astype(np.int8),
-            mask=is_del | (tool_idx < 0),
+            mask=tool_mask,
         ),
         pa.array(_TOOL_DICT),
     )
-
-    epoch = (np.arange(total, dtype=np.int64) * spec.n_epochs) // total
 
     # --- 6. write one parquet per epoch ------------------------------------
     if os.path.exists(out_dir):

@@ -60,15 +60,33 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.35, id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard).
 
-    Quadratic in posting-list length — the verification oracle. Use
-    minhash_lsh_candidates to prune at scale.
+    Quadratic in posting-list length — the verification oracle. At scale
+    either verify LSH candidates only (:func:`jaccard_verify_pairs`) or
+    set ``max_doc_freq``: shingles occurring in more than that many
+    documents are excluded from the INTERSECTION join (denominators keep
+    the full shingle counts). A shingle shared by f docs contributes
+    f(f-1)/2 join rows, so hot shingles — common 5-grams — dominate both
+    cost and skew while contributing least to similarity (the standard
+    posting-list-cap trick). With a cap this is a (documented)
+    under-approximation: capped results ⊆ exact results.
     """
     sh = shingles(docs, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

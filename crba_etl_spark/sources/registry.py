@@ -139,6 +139,80 @@ def _pandas_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     return fdf.mapInPandas(parse, schema=schema)
 
 
+@register_source("api")
+def _api(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """Paginated HTTP API ingest (SRC-API-UN/WHO/ILO/WB, SURVEY §2.1):
+    the page-URL list is the parallelism unit — each partition fetches
+    its URLs with stdlib urllib (retry + exponential backoff) and parses
+    the payload (json records / csv) to the declared schema inside
+    ``mapInPandas``. ``file://`` URLs go through the identical code path,
+    which is how the offline tests drive it (the sandbox has no network;
+    the reference analog is the per-source API adapter classes,
+    /root/reference/etl/source_adapter/api.py:1-3).
+
+    options:
+      urls         explicit page-URL list (else ``spec.path`` is the one URL)
+      payload      'json' (default) or 'csv'
+      record_path  key holding the record list in a JSON payload
+      retries      fetch attempts per URL (default 3)
+    """
+    if spec.schema is None:
+        raise ValueError("api source requires an explicit schema")
+    urls = list(spec.options.get("urls") or [spec.path])
+    payload = spec.options.get("payload", "json")
+    if payload not in ("json", "csv"):
+        raise ValueError(f"api payload must be json|csv, got {payload!r}")
+    record_path = spec.options.get("record_path")
+    retries = int(spec.options.get("retries", 3))
+    schema = spec.schema
+    wanted = [f.name for f in schema.fields]
+
+    udf_input = spark.createDataFrame([(u,) for u in urls], "url string").repartition(
+        max(len(urls), 1)
+    )
+
+    def fetch(batches):
+        import io
+        import json as _json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        import pandas as pd
+
+        def get(url: str) -> bytes:
+            last: Exception | None = None
+            for attempt in range(retries):
+                try:
+                    with urllib.request.urlopen(url, timeout=30) as r:
+                        return r.read()
+                except (urllib.error.URLError, OSError, TimeoutError) as e:
+                    last = e
+                    _time.sleep(min(2**attempt * 0.1, 2.0))
+            raise RuntimeError(
+                f"api fetch failed after {retries} attempts: {url}: {last}"
+            )
+
+        for pdf in batches:
+            for url in pdf["url"]:
+                raw = get(url)
+                if payload == "json":
+                    doc = _json.loads(raw)
+                    recs = doc[record_path] if record_path else doc
+                    out = pd.json_normalize(recs)
+                else:
+                    out = pd.read_csv(io.BytesIO(raw))
+                missing = [c for c in wanted if c not in out.columns]
+                if missing:
+                    raise ValueError(
+                        f"{url}: payload columns {list(out.columns)} lack "
+                        f"declared schema columns {missing}"
+                    )
+                yield out[wanted]
+
+    return udf_input.mapInPandas(fetch, schema=schema)
+
+
 @register_source("events")
 def _events(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     """The change-stream tail as a batch source (epoch dirs)."""

@@ -83,3 +83,84 @@ def conversation_progress(tail: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# --- event-time variant: watermark-driven session close ---------------------
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("end_ts", T.TimestampType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def _make_session_update(gap_s: int):
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n, start_ts, end_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "n_events": n, "start_ts": start_ts,
+                  "end_ts": end_ts, "closed": True}]
+            )
+            return
+        n, start_ts, end_ts = state.get if state.exists else (0, None, None)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            lo, hi = pdf["ingest_ts"].min(), pdf["ingest_ts"].max()
+            start_ts = lo if start_ts is None else min(start_ts, lo)
+            end_ts = hi if end_ts is None else max(end_ts, hi)
+        state.update((n, start_ts, end_ts))
+        # the session closes when the EVENT-TIME watermark passes
+        # last-event + gap — late events inside the gap still extend it
+        state.setTimeoutTimestamp(
+            int(end_ts.timestamp() * 1000) + gap_s * 1000
+        )
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "n_events": n, "start_ts": start_ts,
+              "end_ts": end_ts, "closed": False}]
+        )
+
+    return update
+
+
+def conversation_sessions(
+    tail: DataFrame, gap_s: int = 60, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Event-time sessionization with WATERMARK-driven state eviction
+    (the event-time twin of :func:`conversation_progress`'s processing-
+    time timeout): a conversation's session closes when the watermark on
+    ``ingest_ts`` passes its last event + ``gap_s``. Late events within
+    the allowed lateness extend the session; events older than the
+    watermark are dropped upstream by Spark — the standard watermark
+    contract (the engine's key-exact LSN quarantine remains the
+    lossless late-data path for the TABLE; this operator serves derived
+    session views)."""
+    return (
+        tail.withWatermark("ingest_ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_session_update(gap_s),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -3,11 +3,13 @@
 ``readStream`` over the events directory (a file source is the replayable,
 deterministic stand-in for a Kafka/binlog tail — same envelope schema), then
 ``foreachBatch``: each micro-batch is split by its ``epoch`` column and each
-epoch flows through the identical batch apply path (dedup → reduce → delta/
-merge → atomic commit). Exactly-once does NOT rely on Spark's sink guarantees
-(foreachBatch is at-least-once): the icelite epoch marker makes re-delivered
-micro-batches no-ops, which is the end-to-end idempotence the north rule
-requires.
+(epoch, micro-batch) SLICE flows through the identical batch apply path
+(dedup → reduce → delta/merge → atomic commit). Exactly-once does NOT rely
+on Spark's sink guarantees (foreachBatch is at-least-once): every slice
+commits under its own marker inside the snapshot, so a re-delivered
+micro-batch (same batch_id on retry) is a no-op — and an epoch whose files
+span several micro-batches is applied fully, one slice at a time; this is
+the end-to-end idempotence the north rule requires.
 
 Late data: events with LSN at or below a key's applied LSN are quarantined by
 the apply path itself (never silently dropped) — a stronger, key-exact
