@@ -476,6 +476,50 @@ FROM lvl1 GROUP BY 1
 """
 
 
+def q_hierarchy_rollup(spark, sf_dir):
+    """AGG-MEAN, the reference's full 3-level roll-up (indicator score →
+    issue → category → index per country; SURVEY §2.4 [S+K, high]):
+    cascaded avg-of-avgs — three chained groupBys, each a partial+final
+    hash agg, dims broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    lvl0 = base.groupBy("r_name", "n_name", "c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("seg_avg")
+    )
+    lvl1 = lvl0.groupBy("r_name", "n_name").agg(
+        F.round(F.avg("seg_avg"), 6).alias("nation_avg"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return lvl1.groupBy("r_name").agg(
+        F.round(F.avg("nation_avg"), 6).alias("region_score"),
+        F.sum("n_segments").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+SQL_HIERARCHY_ROLLUP = """
+WITH lvl0 AS (
+  SELECT r_name, n_name, c_mktsegment, round(avg(c_acctbal), 6) AS seg_avg
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+),
+lvl1 AS (
+  SELECT r_name, n_name, round(avg(seg_avg), 6) AS nation_avg,
+         count(*) AS n_segments
+  FROM lvl0 GROUP BY 1, 2
+)
+SELECT r_name, round(avg(nation_avg), 6) AS region_score,
+       sum(n_segments) AS n_segments, count(*) AS n_nations
+FROM lvl1 GROUP BY 1
+"""
+
+
 def q_minmax_scale_orders(spark, sf_dir):
     """NUM-SCALE (§2.8): min-max normalize to 1..10 within groups — the
     reference's published normalization formula as window arithmetic."""
@@ -500,6 +544,45 @@ SELECT o_orderkey, o_orderpriority,
                           - min(o_totalprice) OVER (PARTITION BY o_orderpriority))
              END, 6) AS scaled_1_10
 FROM orders
+"""
+
+
+def q_scale_inverted_log(spark, sf_dir):
+    """NUM-SCALE, full published methodology (SURVEY §2.8 [S+K, high]):
+    log10 transform for skewed magnitudes, min-max to 1..10 within the
+    group, and an INVERTED (11 - s) scale for negative-direction
+    groups — all pure window/column arithmetic, no UDF."""
+    o = load(spark, sf_dir, "orders")
+    x = F.log10("o_totalprice")
+    w = Window.partitionBy("o_orderpriority")
+    mn, mx = F.min(x).over(w), F.max(x).over(w)
+    s = F.when(mx == mn, F.lit(5.5)).otherwise(1 + 9 * (x - mn) / (mx - mn))
+    inverted = F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        inverted.alias("inverted"),
+        F.round(F.when(inverted, 11 - s).otherwise(s), 6).alias("score_1_10"),
+    )
+
+
+SQL_SCALE_INVERTED_LOG = """
+WITH s AS (
+  SELECT o_orderkey, o_orderpriority,
+         o_orderpriority IN ('1-URGENT', '5-LOW') AS inverted,
+         CASE WHEN max(log10(o_totalprice)) OVER (PARTITION BY o_orderpriority)
+                 = min(log10(o_totalprice)) OVER (PARTITION BY o_orderpriority)
+              THEN 5.5
+              ELSE 1 + 9 * (log10(o_totalprice)
+                            - min(log10(o_totalprice)) OVER (PARTITION BY o_orderpriority))
+                   / (max(log10(o_totalprice)) OVER (PARTITION BY o_orderpriority)
+                      - min(log10(o_totalprice)) OVER (PARTITION BY o_orderpriority))
+         END AS raw_s
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, inverted,
+       round(CASE WHEN inverted THEN 11 - raw_s ELSE raw_s END, 6) AS score_1_10
+FROM s
 """
 
 
@@ -1219,7 +1302,9 @@ def registry() -> dict[str, tuple]:
         "orderpriority_pivot": (q_orderpriority_pivot, _sql_orderpriority_pivot()),
         "unpivot_part": (q_unpivot_part, SQL_UNPIVOT_PART),
         "rollup_region_acctbal": (q_rollup_region_acctbal, SQL_ROLLUP_REGION_ACCTBAL),
+        "hierarchy_rollup": (q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP),
         "minmax_scale_orders": (q_minmax_scale_orders, SQL_MINMAX_SCALE_ORDERS),
+        "scale_inverted_log": (q_scale_inverted_log, SQL_SCALE_INVERTED_LOG),
         "universe_fill": (q_universe_fill, SQL_UNIVERSE_FILL),
         "users_without_purchase": (
             q_users_without_purchase,

@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # codegen-heavy workloads outgrow the JVM's default 240 MB JIT
+        # code cache: measured here, sustained replay throughput
+        # collapsed 2.5x ~35s into every run (latest epochs of each
+        # bench) once the cache filled and compilation degraded; 512 MB
+        # removes it entirely (defaultJavaOptions so user
+        # extraJavaOptions still compose)
+        .config(
+            "spark.driver.defaultJavaOptions", "-XX:ReservedCodeCacheSize=512m"
+        )
         # parquet scan parallelism: keep file-split sizing at default 128M;
         # our tables are written with many small files at test SF, so cap
         # the open cost so splits coalesce.
