@@ -515,7 +515,7 @@ lvl1 AS (
   FROM lvl0 GROUP BY 1, 2
 )
 SELECT r_name, round(avg(nation_avg), 6) AS region_score,
-       sum(n_segments) AS n_segments, count(*) AS n_nations
+       CAST(sum(n_segments) AS BIGINT) AS n_segments, count(*) AS n_nations
 FROM lvl1 GROUP BY 1
 """
 
