@@ -57,6 +57,68 @@ CURRENT = "CURRENT"
 BUCKET_FN = "murmur3_pmod_v1"
 
 
+class LocalManifestIO:
+    """Manifest + pointer I/O against a POSIX filesystem — the ONE seam a
+    cluster deployment swaps out for an object store. Everything above
+    this class (snapshot structure, commit protocol, time travel, expiry)
+    is storage-agnostic; what is local-FS-specific lives here:
+
+    - ``swap_current`` relies on atomic ``os.replace``. S3/GCS have no
+      atomic rename, so an object-store impl makes the pointer a
+      conditional PUT (If-Match/generation precondition) or delegates it
+      to a catalog service — exactly the role Iceberg gives its catalog;
+      manifests themselves are immutable, uniquely-named objects and can
+      be plain PUTs on any store.
+    - durability here is fsync; on an object store it is the PUT ack.
+
+    Single-writer is assumed at this layer (the engine serializes
+    commits); a multi-writer deployment gets its mutual exclusion from
+    the conditional pointer swap above, again as in Iceberg.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "snapshots")
+
+    # --- pointer -----------------------------------------------------------
+
+    def read_current(self) -> str | None:
+        try:
+            with open(os.path.join(self.root, CURRENT)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def swap_current(self, name: str) -> None:
+        """Atomically repoint CURRENT — the commit point."""
+        tmp = os.path.join(self.root, CURRENT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, CURRENT))
+
+    # --- manifests ---------------------------------------------------------
+
+    def write_manifest(self, name: str, snap: dict) -> None:
+        os.makedirs(self.snap_dir, exist_ok=True)
+        path = os.path.join(self.snap_dir, name)
+        with open(path, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def read_manifest(self, name: str) -> dict:
+        with open(os.path.join(self.snap_dir, name)) as f:
+            return json.load(f)
+
+    def list_manifests(self) -> list[str]:
+        return sorted(os.listdir(self.snap_dir))
+
+    def delete_manifest(self, name: str) -> None:
+        os.remove(os.path.join(self.snap_dir, name))
+
+
 def bucket_expr(n_buckets: int, col: str = "conv_id"):
     """Deterministic bucket id: pmod(hash(conv_id), N) — Iceberg's bucket
     transform shape, using Spark's Murmur3 ``hash`` so the bucket function
@@ -72,8 +134,9 @@ def bucket_expr(n_buckets: int, col: str = "conv_id"):
 
 
 class IceliteTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, io: LocalManifestIO | None = None):
         self.root = root
+        self.io = io or LocalManifestIO(root)
 
     # --- lifecycle ---------------------------------------------------------
 
@@ -86,7 +149,7 @@ class IceliteTable:
         key_cols: list[str] | None = None,
         overwrite: bool = False,
     ) -> "IceliteTable":
-        if os.path.exists(os.path.join(root, CURRENT)):
+        if LocalManifestIO(root).read_current() is not None:
             if not overwrite:
                 t = cls(root)
                 fn = t.snapshot().get("bucket_fn", BUCKET_FN)
@@ -114,32 +177,25 @@ class IceliteTable:
         return t
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.root, CURRENT))
+        return self.io.read_current() is not None
 
     # --- snapshot plumbing --------------------------------------------------
 
     def snapshot(self) -> dict:
-        with open(os.path.join(self.root, CURRENT)) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.root, "snapshots", name)) as f:
-            return json.load(f)
+        return self.io.read_manifest(self.io.read_current())
 
     def snapshot_at(self, version: int | None = None) -> dict:
         """Manifest of a specific version (time travel) — or the live one.
         Raises FileNotFoundError if the version was expired."""
         if version is None:
             return self.snapshot()
-        with open(
-            os.path.join(self.root, "snapshots", f"snapshot-{version:06d}.json")
-        ) as f:
-            return json.load(f)
+        return self.io.read_manifest(f"snapshot-{version:06d}.json")
 
     def versions(self) -> list[int]:
         """All retained snapshot versions, oldest first."""
-        d = os.path.join(self.root, "snapshots")
         return sorted(
             int(n[len("snapshot-"):-len(".json")])
-            for n in os.listdir(d)
+            for n in self.io.list_manifests()
             if n.startswith("snapshot-") and n.endswith(".json")
         )
 
@@ -197,19 +253,11 @@ class IceliteTable:
             "stats": stats,
         }
         name = f"snapshot-{version:06d}.json"
-        path = os.path.join(self.root, "snapshots", name)
-        with open(path, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = os.path.join(self.root, CURRENT + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
+        self.io.write_manifest(name, snap)
         # the atomic commit point: data + schema + epoch marker become
-        # visible in one rename
-        os.replace(tmp, os.path.join(self.root, CURRENT))
+        # visible in one pointer swap (see LocalManifestIO for what this
+        # becomes on an object store)
+        self.io.swap_current(name)
 
     # --- read path -----------------------------------------------------------
 
@@ -417,22 +465,19 @@ class IceliteTable:
         versions is gone; the live view is untouched. Safe against crash:
         manifests are deleted before data dirs, and an unreferenced dir
         is also what a crashed commit leaves (cleaned the same way)."""
-        snap_dir = os.path.join(self.root, "snapshots")
-        names = sorted(os.listdir(snap_dir))
+        names = self.io.list_manifests()
         keep = set(names[-keep_last:])
-        with open(os.path.join(self.root, CURRENT)) as f:
-            keep.add(f.read().strip())
+        keep.add(self.io.read_current())
         referenced: set[str] = set()
         for name in keep:
-            with open(os.path.join(snap_dir, name)) as f:
-                s = json.load(f)
+            s = self.io.read_manifest(name)
             for src in (s["files"], s.get("deltas", {})):
                 for fl in src.values():
                     referenced.update(p.split("/")[1] for p in fl)
         removed_snaps = []
         for name in names:
             if name not in keep:
-                os.remove(os.path.join(snap_dir, name))
+                self.io.delete_manifest(name)
                 removed_snaps.append(name)
         data_dir = os.path.join(self.root, "data")
         removed_dirs = []
