@@ -216,11 +216,21 @@ def full_bench() -> None:
     CDCEngine(spark, warm_root, n_buckets=32, mode="mor").replay(warmup_stream_dir())
     _sh.rmtree(warm_root, ignore_errors=True)
 
+    # TWO full replays: the sustained-rate median then draws on 12 epoch
+    # samples instead of 6 — this host's 30-60s stall waves can depress
+    # most of one replay (observed: neighboring epochs in one run at
+    # 89k and 1.16M ev/s), and a single run's median still carries the
+    # wave; cdc_replay_apply reports the total wall for both
     table_root = os.path.join(base, "crba_bench_table")
     t0 = time.monotonic()
-    res = run_replay(spark, table_root)
+    epoch_samples = []
+    for _rep in range(2):
+        res = run_replay(spark, table_root)
+        epoch_samples += [
+            round(e["events_in"] / e["apply_s"], 1) for e in res["per_epoch"]
+        ]
+        _sh.rmtree(table_root, ignore_errors=True)
     timings["cdc_replay_apply"] = round(time.monotonic() - t0, 3)
-    _sh.rmtree(table_root, ignore_errors=True)
 
     # 2. operator queries at the bench SF
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -232,9 +242,7 @@ def full_bench() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    epoch_rates = [
-        round(e["events_in"] / e["apply_s"], 1) for e in res["per_epoch"]
-    ]
+    epoch_rates = epoch_samples
     # BASELINE.json's metric is SUSTAINED apply events/sec; the median of
     # per-epoch rates is the sustained estimator (same one the --scaling
     # protocol uses and documents): this shared VM stalls in 30-60s
@@ -250,8 +258,10 @@ def full_bench() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": round(statistics.median(epoch_rates), 1),
-                "cdc_events_per_sec_wall": res["events_per_sec"],
-                "cdc_events_applied": res["events_applied"],
+                "cdc_events_per_sec_wall": round(
+                    2 * res["events_applied"] / timings["cdc_replay_apply"], 1
+                ),
+                "cdc_events_applied": 2 * res["events_applied"],
                 "cdc_epoch_rates": epoch_rates,
                 "cpus": int(CPUS),
             }
