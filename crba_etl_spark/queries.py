@@ -1096,6 +1096,91 @@ FROM sh GROUP BY 1
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation (the composition the LLM-data
+    operators exist for): quality gate → exact dedup (keep the lowest
+    doc_id per content digest) → emit the surviving corpus with its
+    quality features. One declarative plan: the filter pushes to the
+    scan, the dedup is one hash groupBy, no intermediate materialization."""
+    docs = load(spark, sf_dir, "documents")
+    q = text_analysis.quality_score(docs)
+    scored = docs.join(q, "doc_id").filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    keepers = scored.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        scored.join(keepers, "doc_id")
+        .select("doc_id", "text_md5", "n_tokens", "quality")
+    )
+
+
+def _sql_curation_pipeline():
+    # reuse the quality CTE from SQL_QUALITY_SCORE (identical formulas)
+    return r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, n_tokens,
+         round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.5
+               + least(round(n_stop / greatest(n_tokens, 1), 6) * 2.0, 0.3)
+               + least(round(n_punct / greatest(n_chars, 1), 6) * 5.0, 0.2), 6) AS quality
+  FROM t
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 5),
+keepers AS (
+  SELECT md5(text) AS text_md5, min(doc_id) AS doc_id FROM kept GROUP BY 1
+)
+SELECT k.doc_id, keepers.text_md5, k.n_tokens, k.quality
+FROM kept k JOIN keepers ON k.doc_id = keepers.doc_id
+"""
+
+
+def q_hash_split_sample(spark, sf_dir):
+    """Deterministic content-stable train/val split + sampling (every
+    training pipeline needs one): bucket = md5-derived 32-bit hash of the
+    doc id mod 100 — reproducible across engines, runs, and partitionings
+    (never rand(): resampling must not reshuffle the split)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return (
+        docs.select("doc_id", bucket.cast("int").alias("split_bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("split_bucket") < 80, "train")
+            .when(F.col("split_bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .filter(F.col("split_bucket") % 2 == 0)  # deterministic 50% sample
+    )
+
+
+SQL_HASH_SPLIT_SAMPLE = """
+WITH b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::INT
+           AS split_bucket
+  FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < 80 THEN 'train'
+            WHEN split_bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b WHERE split_bucket % 2 = 0
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
@@ -1326,6 +1411,8 @@ def registry() -> dict[str, tuple]:
         "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
+        "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf_topk()),
         "embedding_lsh_candidates": (q_embedding_lsh_candidates, _sql_embedding_lsh()),
