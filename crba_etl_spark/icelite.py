@@ -57,23 +57,30 @@ CURRENT = "CURRENT"
 BUCKET_FN = "murmur3_pmod_v1"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer moved CURRENT since this commit's base snapshot was
+    read. The table's optimistic commit loop retries on this; a caller
+    seeing it escape (compaction) should re-read and re-run."""
+
+
 class LocalManifestIO:
     """Manifest + pointer I/O against a POSIX filesystem — the ONE seam a
     cluster deployment swaps out for an object store. Everything above
     this class (snapshot structure, commit protocol, time travel, expiry)
     is storage-agnostic; what is local-FS-specific lives here:
 
-    - ``swap_current`` relies on atomic ``os.replace``. S3/GCS have no
-      atomic rename, so an object-store impl makes the pointer a
-      conditional PUT (If-Match/generation precondition) or delegates it
-      to a catalog service — exactly the role Iceberg gives its catalog;
-      manifests themselves are immutable, uniquely-named objects and can
-      be plain PUTs on any store.
+    - ``commit_atomic`` is check-expected + write-manifest + pointer-swap
+      under an ``flock``; on S3/GCS the same contract is a conditional
+      PUT of the pointer (If-Match / generation precondition) or a
+      catalog CAS — exactly the role Iceberg gives its catalog.
+      Manifests themselves are immutable, uniquely-named objects (plain
+      PUTs on any store).
     - durability here is fsync; on an object store it is the PUT ack.
 
-    Single-writer is assumed at this layer (the engine serializes
-    commits); a multi-writer deployment gets its mutual exclusion from
-    the conditional pointer swap above, again as in Iceberg.
+    Multi-writer safety: the conditional swap turns concurrent commits
+    into a detected :class:`CommitConflict` instead of a silent lost
+    update; IceliteTable's commit paths retry optimistically (re-read,
+    re-apply the metadata mutation, re-attempt), as Iceberg does.
     """
 
     def __init__(self, root: str):
@@ -97,6 +104,27 @@ class LocalManifestIO:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.root, CURRENT))
+
+    def commit_atomic(
+        self, name: str, snap: dict, expected_current: str | None
+    ) -> None:
+        """Compare-and-swap commit: verify CURRENT still names
+        ``expected_current``, write the manifest, swap the pointer — all
+        under an exclusive lock, so a losing concurrent writer raises
+        :class:`CommitConflict` (and never clobbers the winner's
+        manifest) instead of silently dropping its files."""
+        import fcntl
+
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, ".commit.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.read_current()
+            if expected_current is not None and cur != expected_current:
+                raise CommitConflict(
+                    f"CURRENT moved: based on {expected_current}, found {cur}"
+                )
+            self.write_manifest(name, snap)
+            self.swap_current(name)
 
     # --- manifests ---------------------------------------------------------
 
@@ -234,6 +262,7 @@ class IceliteTable:
         n_buckets=None,
         deltas=None,
         slices=None,
+        expected_current=None,
     ):
         snap = {
             "version": version,
@@ -253,11 +282,11 @@ class IceliteTable:
             "stats": stats,
         }
         name = f"snapshot-{version:06d}.json"
-        self.io.write_manifest(name, snap)
         # the atomic commit point: data + schema + epoch marker become
-        # visible in one pointer swap (see LocalManifestIO for what this
-        # becomes on an object store)
-        self.io.swap_current(name)
+        # visible in one conditional pointer swap (see LocalManifestIO
+        # for what this becomes on an object store); raises
+        # CommitConflict if a concurrent writer moved CURRENT
+        self.io.commit_atomic(name, snap, expected_current)
 
     # --- read path -----------------------------------------------------------
 
@@ -393,33 +422,42 @@ class IceliteTable:
     ) -> dict:
         """Copy-on-write commit: swap in the new files for affected
         buckets (absorbing any deltas they had), carry over the rest,
-        mark the epoch committed — atomically."""
-        snap = self.snapshot()
-        if self._already_committed(snap, epoch, slice_marker):
-            return snap  # already committed (raced redelivery) — no-op
-        files = {int(k): v for k, v in snap["files"].items()}
-        deltas = {int(k): v for k, v in snap.get("deltas", {}).items()}
-        for b in affected:
-            files[b] = new_bucket_files.get(b, [])
-            deltas.pop(b, None)  # rewritten base subsumes prior deltas
-        version = snap["version"] + 1
-        epochs = set(snap["committed_epochs"])
-        if mark_epoch:
-            epochs |= {epoch}
-        slices = set(snap.get("slices", []))
-        if slice_marker is not None:
-            slices |= {slice_marker}
-        self._write_snapshot(
-            version=version,
-            schema=schema,
-            files=files,
-            committed_epochs=epochs,
-            parent=snap["version"],
-            stats=stats,
-            deltas=deltas,
-            slices=slices,
-        )
-        return self.snapshot()
+        mark the epoch committed — atomically. Optimistic under
+        concurrency: a losing CAS re-reads and re-applies the metadata
+        mutation (the data files are already on disk and unreferenced
+        until this succeeds)."""
+        for _attempt in range(8):
+            snap = self.snapshot()
+            if self._already_committed(snap, epoch, slice_marker):
+                return snap  # already committed (raced redelivery) — no-op
+            files = {int(k): v for k, v in snap["files"].items()}
+            deltas = {int(k): v for k, v in snap.get("deltas", {}).items()}
+            for b in affected:
+                files[b] = new_bucket_files.get(b, [])
+                deltas.pop(b, None)  # rewritten base subsumes prior deltas
+            version = snap["version"] + 1
+            epochs = set(snap["committed_epochs"])
+            if mark_epoch:
+                epochs |= {epoch}
+            slices = set(snap.get("slices", []))
+            if slice_marker is not None:
+                slices |= {slice_marker}
+            try:
+                self._write_snapshot(
+                    version=version,
+                    schema=schema,
+                    files=files,
+                    committed_epochs=epochs,
+                    parent=snap["version"],
+                    stats=stats,
+                    deltas=deltas,
+                    slices=slices,
+                    expected_current=f"snapshot-{snap['version']:06d}.json",
+                )
+            except CommitConflict:
+                continue
+            return self.snapshot()
+        raise CommitConflict(f"epoch {epoch}: commit lost 8 CAS races")
 
     def commit_deltas(
         self,
@@ -431,30 +469,37 @@ class IceliteTable:
         mark_epoch: bool = True,
     ) -> dict:
         """Merge-on-read commit: append the epoch's delta files to each
-        touched bucket; nothing is rewritten. Apply cost is O(batch)."""
-        snap = self.snapshot()
-        if self._already_committed(snap, epoch, slice_marker):
-            return snap
-        deltas = {int(k): list(v) for k, v in snap.get("deltas", {}).items()}
-        for b, fl in new_bucket_files.items():
-            deltas.setdefault(b, []).extend(fl)
-        epochs = set(snap["committed_epochs"])
-        if mark_epoch:
-            epochs |= {epoch}
-        slices = set(snap.get("slices", []))
-        if slice_marker is not None:
-            slices |= {slice_marker}
-        self._write_snapshot(
-            version=snap["version"] + 1,
-            schema=schema,
-            files={int(k): v for k, v in snap["files"].items()},
-            committed_epochs=epochs,
-            parent=snap["version"],
-            stats=stats,
-            deltas=deltas,
-            slices=slices,
-        )
-        return self.snapshot()
+        touched bucket; nothing is rewritten. Apply cost is O(batch).
+        Optimistic under concurrency (see :meth:`commit`)."""
+        for _attempt in range(8):
+            snap = self.snapshot()
+            if self._already_committed(snap, epoch, slice_marker):
+                return snap
+            deltas = {int(k): list(v) for k, v in snap.get("deltas", {}).items()}
+            for b, fl in new_bucket_files.items():
+                deltas.setdefault(b, []).extend(fl)
+            epochs = set(snap["committed_epochs"])
+            if mark_epoch:
+                epochs |= {epoch}
+            slices = set(snap.get("slices", []))
+            if slice_marker is not None:
+                slices |= {slice_marker}
+            try:
+                self._write_snapshot(
+                    version=snap["version"] + 1,
+                    schema=schema,
+                    files={int(k): v for k, v in snap["files"].items()},
+                    committed_epochs=epochs,
+                    parent=snap["version"],
+                    stats=stats,
+                    deltas=deltas,
+                    slices=slices,
+                    expected_current=f"snapshot-{snap['version']:06d}.json",
+                )
+            except CommitConflict:
+                continue
+            return self.snapshot()
+        raise CommitConflict(f"epoch {epoch}: delta commit lost 8 CAS races")
 
     # --- maintenance ---------------------------------------------------------
 
@@ -560,5 +605,9 @@ class IceliteTable:
             stats={"compaction": True, "buckets": sorted(buckets)},
             deltas=deltas,
             slices=snap.get("slices", []),
+            # maintenance op: a CommitConflict escapes to the caller,
+            # who re-reads and re-runs (the rewritten data dir would be
+            # stale after a concurrent commit anyway)
+            expected_current=f"snapshot-{snap['version']:06d}.json",
         )
         return self.snapshot()
