@@ -586,6 +586,31 @@ FROM s
 """
 
 
+def q_order_price_quantiles(spark, sf_dir):
+    """AGG-STATS extension: exact interpolated percentiles per group
+    (apply-latency-style distribution metrics). Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition, so
+    the oracle is exact. At scale swap for `approx_percentile`
+    (t-digest) — same call shape, documented accuracy trade."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_ORDER_PRICE_QUANTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 def q_universe_fill(spark, sf_dir):
     """JOIN-UNIVERSE + FILL (§2.3, §2.8): every nation appears even with
     zero customers — the reference's right-join to the country universe
@@ -1390,6 +1415,7 @@ def registry() -> dict[str, tuple]:
         "hierarchy_rollup": (q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP),
         "minmax_scale_orders": (q_minmax_scale_orders, SQL_MINMAX_SCALE_ORDERS),
         "scale_inverted_log": (q_scale_inverted_log, SQL_SCALE_INVERTED_LOG),
+        "order_price_quantiles": (q_order_price_quantiles, SQL_ORDER_PRICE_QUANTILES),
         "universe_fill": (q_universe_fill, SQL_UNIVERSE_FILL),
         "users_without_purchase": (
             q_users_without_purchase,
