@@ -419,17 +419,42 @@ class IceliteTable:
         stats: dict,
         slice_marker: str | None = None,
         mark_epoch: bool = True,
+        base_snapshot: dict | None = None,
     ) -> dict:
         """Copy-on-write commit: swap in the new files for affected
         buckets (absorbing any deltas they had), carry over the rest,
         mark the epoch committed — atomically. Optimistic under
         concurrency: a losing CAS re-reads and re-applies the metadata
         mutation (the data files are already on disk and unreferenced
-        until this succeeds)."""
+        until this succeeds).
+
+        ``base_snapshot`` is the snapshot the rewrite was COMPUTED from.
+        A COW rewrite is only valid against the exact base it read: if a
+        concurrent commit touched an affected bucket (new delta files or
+        a base rewrite) after that read, blindly swapping in our files
+        would discard the concurrent writer's rows while the epoch
+        marker suppresses redelivery — a silent lost update (the Iceberg
+        analog is validateDataFilesExist/validateNoConflictingData on
+        SERIALIZABLE merges). So every attempt — including the first,
+        since CURRENT may move between the merge read and this call —
+        re-validates the affected buckets against the base and raises
+        :class:`CommitConflict` to the CALLER (who must re-read,
+        re-merge, re-write) instead of retrying internally."""
         for _attempt in range(8):
             snap = self.snapshot()
             if self._already_committed(snap, epoch, slice_marker):
                 return snap  # already committed (raced redelivery) — no-op
+            if base_snapshot is not None and snap["version"] != base_snapshot["version"]:
+                for b in affected:
+                    bs = str(b)
+                    if snap["files"].get(bs, []) != base_snapshot["files"].get(bs, []) or snap.get(
+                        "deltas", {}
+                    ).get(bs, []) != base_snapshot.get("deltas", {}).get(bs, []):
+                        raise CommitConflict(
+                            f"epoch {epoch}: bucket {b} changed since base "
+                            f"v{base_snapshot['version']} (now v{snap['version']}) — "
+                            "rewrite is stale; re-read and re-merge"
+                        )
             files = {int(k): v for k, v in snap["files"].items()}
             deltas = {int(k): v for k, v in snap.get("deltas", {}).items()}
             for b in affected:

@@ -33,7 +33,7 @@ import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
-from ..icelite import BUCKET_COL, IceliteTable, bucket_expr
+from ..icelite import BUCKET_COL, CommitConflict, IceliteTable, bucket_expr
 from ..schema import DELETED_COL, EPOCH_COL, LSN_COL
 from .evolve import align_to, merge_schemas
 
@@ -62,7 +62,15 @@ def merge_epoch(
     ``slice_marker`` switches the idempotence unit from whole epoch to
     this slice (streaming micro-batch carrying part of an epoch);
     ``mark_epoch=False`` additionally withholds the epoch id from
-    ``committed_epochs`` so a later batch replay won't skip the rest."""
+    ``committed_epochs`` so a later batch replay won't skip the rest.
+
+    Concurrency: the merge is computed against a PINNED base snapshot
+    version and committed with base-bucket validation (see
+    ``IceliteTable.commit``) — if a concurrent writer touched an
+    affected bucket since the base read, the commit raises
+    CommitConflict and this function re-reads, re-merges, and re-writes
+    from the fresh snapshot (Iceberg's serializable-merge retry), so a
+    concurrent commit's rows are never silently dropped."""
     snap = table.snapshot()
     if IceliteTable._already_committed(snap, epoch, slice_marker):
         return {"epoch": epoch, "skipped": True, "reason": "already committed"}
@@ -88,9 +96,51 @@ def merge_epoch(
         r[0] for r in batch.select(BUCKET_COL).distinct().collect()
     }
 
-    # resolved view: if prior epochs appended MOR deltas to these buckets,
-    # fold them here (the COW rewrite then subsumes them in the commit)
-    target = table.read_resolved(spark, buckets=affected, schema=evolved)
+    try:
+        for _attempt in range(8):
+            try:
+                return _merge_attempt(
+                    spark, table, batch, snap, epoch, affected, evolved,
+                    payload_cols, key_cols, n_buckets, quarantine_dir,
+                    slice_marker, mark_epoch, t0,
+                )
+            except CommitConflict:
+                # a concurrent commit touched an affected bucket: our
+                # rewrite was computed from stale data — re-read and
+                # re-merge from the fresh snapshot
+                snap = table.snapshot()
+                if IceliteTable._already_committed(snap, epoch, slice_marker):
+                    return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+        raise CommitConflict(f"epoch {epoch}: merge lost 8 re-merge races")
+    finally:
+        batch.unpersist()
+
+
+def _merge_attempt(
+    spark: SparkSession,
+    table: IceliteTable,
+    batch: DataFrame,
+    snap: dict,
+    epoch: int,
+    affected: set[int],
+    evolved: T.StructType,
+    payload_cols: list[str],
+    key_cols: list[str],
+    n_buckets: int,
+    quarantine_dir: str | None,
+    slice_marker: str | None,
+    mark_epoch: bool,
+    t0: float,
+) -> dict:
+    """One COW merge attempt against the pinned base ``snap``. Raises
+    CommitConflict if an affected bucket changed under us."""
+    # resolved view AT THE BASE VERSION: the merge must read exactly the
+    # files the commit will validate against, so a snapshot moving
+    # mid-merge can't mix bases; prior MOR deltas in these buckets are
+    # folded here (the COW rewrite then subsumes them in the commit)
+    target = table.read_resolved(
+        spark, buckets=affected, schema=evolved, version=snap["version"]
+    )
 
     # --- the merge join -------------------------------------------------
     t, b = target.alias("t"), batch.alias("b")
@@ -173,8 +223,8 @@ def merge_epoch(
         stats={k: v for k, v in stats.items() if k != "affected_buckets"},
         slice_marker=slice_marker,
         mark_epoch=mark_epoch,
+        base_snapshot=snap,
     )
-    batch.unpersist()
     return stats
 
 
