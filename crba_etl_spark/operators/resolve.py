@@ -46,14 +46,25 @@ def resolve_keys(
     3. unresolved — ``resolved`` stays NULL, ``method = 'unresolved'``.
 
     Adds two columns: ``resolved`` (canonical key or NULL) and ``method``
-    ('canonical' | 'synonym' | 'unresolved'). Both lookup sides are
-    broadcast; the input keeps all its columns and rows.
+    ('canonical' | 'canonical_ambiguous' | 'synonym' |
+    'synonym_ambiguous' | 'unresolved'). Both lookup sides are broadcast;
+    the input keeps all its columns and EXACTLY its rows: each lookup
+    side is collapsed to one row per normalized key before the join
+    (deterministic min-canonical winner), so two canonical keys — or two
+    synonym targets — that normalize to the same string can never fan an
+    input row out into duplicates; such collisions surface as the
+    ``*_ambiguous`` method label instead.
     """
     canon = F.broadcast(
         canonical.select(
             normalize_key(F.col(canon_col)).alias("_norm"),
             F.col(canon_col).alias("_canon"),
-        ).distinct()
+        )
+        .groupBy("_norm")
+        .agg(
+            F.min("_canon").alias("_canon"),
+            (F.count_distinct("_canon") > 1).alias("_canon_amb"),
+        )
     )
     out = df.withColumn("_norm", normalize_key(F.col(key_col))).join(
         canon, "_norm", "left"
@@ -63,16 +74,29 @@ def resolve_keys(
             synonyms.select(
                 normalize_key(F.col(alias_col)).alias("_norm"),
                 F.col(syn_canon_col).alias("_syn_canon"),
-            ).distinct()
+            )
+            .groupBy("_norm")
+            .agg(
+                F.min("_syn_canon").alias("_syn_canon"),
+                (F.count_distinct("_syn_canon") > 1).alias("_syn_amb"),
+            )
         )
         out = out.join(syn, "_norm", "left")
     else:
-        out = out.withColumn("_syn_canon", F.lit(None).cast("string"))
+        out = out.withColumn("_syn_canon", F.lit(None).cast("string")).withColumn(
+            "_syn_amb", F.lit(False)
+        )
     return out.select(
         *df.columns,
         F.coalesce("_canon", "_syn_canon").alias("resolved"),
-        F.when(F.col("_canon").isNotNull(), "canonical")
-        .when(F.col("_syn_canon").isNotNull(), "synonym")
+        F.when(
+            F.col("_canon").isNotNull(),
+            F.when(F.col("_canon_amb"), "canonical_ambiguous").otherwise("canonical"),
+        )
+        .when(
+            F.col("_syn_canon").isNotNull(),
+            F.when(F.col("_syn_amb"), "synonym_ambiguous").otherwise("synonym"),
+        )
         .otherwise("unresolved")
         .alias("method"),
     )

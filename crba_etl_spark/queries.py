@@ -836,17 +836,23 @@ WITH dirty AS (
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 ),
 canon AS (
-  SELECT DISTINCT {_SQL_NORM.format(c='n_name')} AS norm, n_name AS canon FROM nation
+  -- one row per normalized key (min winner + ambiguity flag), mirroring
+  -- resolve_keys' collapse so norm collisions can never fan rows out
+  SELECT {_SQL_NORM.format(c='n_name')} AS norm, min(n_name) AS canon,
+         count(DISTINCT n_name) > 1 AS amb
+  FROM nation GROUP BY 1
 ),
 syn AS (
-  SELECT DISTINCT {_SQL_NORM.format(c="'@' || reverse(lower(n_name))")} AS norm,
-         n_name AS canon
-  FROM nation
+  SELECT {_SQL_NORM.format(c="'@' || reverse(lower(n_name))")} AS norm,
+         min(n_name) AS canon, count(DISTINCT n_name) > 1 AS amb
+  FROM nation GROUP BY 1
 ),
 r AS (
   SELECT coalesce(c.canon, s.canon) AS resolved,
-         CASE WHEN c.canon IS NOT NULL THEN 'canonical'
-              WHEN s.canon IS NOT NULL THEN 'synonym'
+         CASE WHEN c.canon IS NOT NULL THEN
+                (CASE WHEN c.amb THEN 'canonical_ambiguous' ELSE 'canonical' END)
+              WHEN s.canon IS NOT NULL THEN
+                (CASE WHEN s.amb THEN 'synonym_ambiguous' ELSE 'synonym' END)
               ELSE 'unresolved' END AS method
   FROM dirty d
   LEFT JOIN canon c ON {_SQL_NORM.format(c='d.raw_name')} = c.norm

@@ -43,6 +43,36 @@ def test_resolve_keys_tiers_and_audit(spark):
     assert [(a["raw"], a["n"]) for a in audit] == [("atlantis", 2)]
 
 
+def test_resolve_keys_norm_collision_no_fanout(spark):
+    """Round-2 ADVICE: two canonical keys (or synonym targets) that
+    normalize to the same string must NOT fan input rows out into
+    duplicates — each lookup side collapses to one row per norm
+    (deterministic min winner) and the collision is labeled
+    *_ambiguous."""
+    dirty = spark.createDataFrame(
+        [(1, "france"), (2, "egypt"), (3, "@tpyge")], "id int, raw string"
+    )
+    # "France." and "france" both normalize to "france"
+    canon = spark.createDataFrame(
+        [("France.",), ("france",), ("EGYPT",)], "name string"
+    )
+    # two synonym rows whose alias normalizes identically but map to
+    # different canonicals
+    syn = spark.createDataFrame(
+        [("@tpyge", "EGYPT"), ("@tpyge!", "EGYPT-ALT")],
+        "alias string, canonical string",
+    )
+    r = resolve_keys(dirty, "raw", canonical=canon, canon_col="name", synonyms=syn)
+    rows = r.collect()
+    assert len(rows) == 3  # the documented contract: no row fan-out
+    got = {row["id"]: (row["resolved"], row["method"]) for row in rows}
+    assert got == {
+        1: ("France.", "canonical_ambiguous"),  # min("France.", "france")
+        2: ("EGYPT", "canonical"),
+        3: ("EGYPT", "synonym_ambiguous"),      # min("EGYPT", "EGYPT-ALT")
+    }
+
+
 def test_table_diff_statuses(spark):
     old = spark.createDataFrame(
         [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")], "k string, v int, w string"
