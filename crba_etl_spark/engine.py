@@ -105,6 +105,7 @@ class CDCEngine:
         epoch: int,
         slice_marker: str | None = None,
         mark_epoch: bool = True,
+        slice_files: list[str] | None = None,
     ) -> dict:
         """Dedup + reduce + merge + commit one epoch. No-op if the epoch
         is already committed (exactly-once under redelivery).
@@ -114,7 +115,9 @@ class CDCEngine:
         epoch id, so an epoch whose files span micro-batches is applied
         fully (each slice exactly once). ``mark_epoch=False`` keeps the
         epoch id out of ``committed_epochs`` when the slice is not known
-        to complete the epoch."""
+        to complete the epoch; ``slice_files`` records the slice's source
+        file names in the snapshot so completeness can be decided from
+        the cumulative union across slices (see streaming/tail.py)."""
         if slice_marker is not None:
             if slice_marker in self.table.committed_slices():
                 return {"epoch": epoch, "skipped": True, "reason": "slice committed"}
@@ -154,6 +157,7 @@ class CDCEngine:
                 pre_partitioned=True,
                 slice_marker=slice_marker,
                 mark_epoch=mark_epoch,
+                slice_files=slice_files,
             )
         else:
             stats = merge_epoch(
@@ -164,6 +168,7 @@ class CDCEngine:
                 quarantine_dir=eager_dir,
                 slice_marker=slice_marker,
                 mark_epoch=mark_epoch,
+                slice_files=slice_files,
             )
         if not stats.get("skipped"):
             stats["events_in"] = int(obs.get["events_in"])

@@ -15,6 +15,7 @@ An exact replay oracle (DuckDB) is provided for tests.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass
@@ -237,11 +238,22 @@ def generate_stream(out_dir: str, spec: StreamSpec = StreamSpec()) -> dict:
             sl = sl.drop_columns(["tool"])
         d = os.path.join(out_dir, f"epoch={k}")
         os.makedirs(d, exist_ok=True)
+        names = []
         for j, off in enumerate(range(0, max(sl.num_rows, 1), spec.rows_per_file)):
-            pq.write_table(
-                sl.slice(off, spec.rows_per_file),
-                os.path.join(d, f"part-{j:03d}.parquet"),
-            )
+            name = f"part-{j:03d}.parquet"
+            pq.write_table(sl.slice(off, spec.rows_per_file), os.path.join(d, name))
+            names.append(name)
+        # producer-side epoch-completeness marker: the producer DECLARES
+        # the epoch's full file set once everything is durable. Consumers
+        # (streaming tail) must trust only this — on an object store a
+        # directory LIST is eventually consistent and a producer may
+        # still be writing, while a GET of a known key is strongly
+        # consistent. The leading underscore keeps Spark/Hadoop file
+        # listings from treating it as data (the _SUCCESS convention).
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            json.dump({"files": names}, f)
+            f.flush()
+            os.fsync(f.fileno())
 
     return {
         "total_events": total,

@@ -247,6 +247,12 @@ class IceliteTable:
         batches that carried only part of an epoch's files)."""
         return set(self.snapshot().get("slices", []))
 
+    def epoch_files(self) -> dict[str, list[str]]:
+        """Per-epoch cumulative set of source file names applied so far
+        by partial slices (streaming). An entry exists only while the
+        epoch is incomplete; marking the epoch committed drops it."""
+        return {k: list(v) for k, v in self.snapshot().get("epoch_files", {}).items()}
+
     def last_committed_epoch(self) -> int | None:
         eps = self.snapshot()["committed_epochs"]
         return max(eps) if eps else None
@@ -262,6 +268,7 @@ class IceliteTable:
         n_buckets=None,
         deltas=None,
         slices=None,
+        epoch_files=None,
         expected_current=None,
     ):
         snap = {
@@ -278,6 +285,10 @@ class IceliteTable:
             # partial-epoch slice markers (streaming): idempotence unit
             # when one epoch's files span micro-batches
             "slices": sorted(slices or []),
+            # cumulative applied source files per still-incomplete epoch
+            # (streaming): union across slices; compared to the
+            # producer's _DONE declaration to decide epoch completeness
+            "epoch_files": {str(k): sorted(v) for k, v in (epoch_files or {}).items()},
             "parent": parent,
             "stats": stats,
         }
@@ -420,6 +431,7 @@ class IceliteTable:
         slice_marker: str | None = None,
         mark_epoch: bool = True,
         base_snapshot: dict | None = None,
+        slice_files: list[str] | None = None,
     ) -> dict:
         """Copy-on-write commit: swap in the new files for affected
         buckets (absorbing any deltas they had), carry over the rest,
@@ -467,6 +479,7 @@ class IceliteTable:
             slices = set(snap.get("slices", []))
             if slice_marker is not None:
                 slices |= {slice_marker}
+            efiles = self._union_epoch_files(snap, epoch, slice_files, mark_epoch)
             try:
                 self._write_snapshot(
                     version=version,
@@ -477,12 +490,30 @@ class IceliteTable:
                     stats=stats,
                     deltas=deltas,
                     slices=slices,
+                    epoch_files=efiles,
                     expected_current=f"snapshot-{snap['version']:06d}.json",
                 )
             except CommitConflict:
                 continue
             return self.snapshot()
         raise CommitConflict(f"epoch {epoch}: commit lost 8 CAS races")
+
+    @staticmethod
+    def _union_epoch_files(
+        snap: dict, epoch: int, slice_files: list[str] | None, mark_epoch: bool
+    ) -> dict[str, list[str]]:
+        """Cumulative applied-file bookkeeping for partial epochs: union
+        this slice's source files into the epoch's entry; once the epoch
+        is marked committed the entry is dropped (the epoch id in
+        ``committed_epochs`` subsumes it)."""
+        efiles = {k: list(v) for k, v in snap.get("epoch_files", {}).items()}
+        if slice_files is not None:
+            efiles[str(epoch)] = sorted(
+                set(efiles.get(str(epoch), [])) | set(slice_files)
+            )
+        if mark_epoch:
+            efiles.pop(str(epoch), None)
+        return efiles
 
     def commit_deltas(
         self,
@@ -492,6 +523,7 @@ class IceliteTable:
         stats: dict,
         slice_marker: str | None = None,
         mark_epoch: bool = True,
+        slice_files: list[str] | None = None,
     ) -> dict:
         """Merge-on-read commit: append the epoch's delta files to each
         touched bucket; nothing is rewritten. Apply cost is O(batch).
@@ -509,6 +541,7 @@ class IceliteTable:
             slices = set(snap.get("slices", []))
             if slice_marker is not None:
                 slices |= {slice_marker}
+            efiles = self._union_epoch_files(snap, epoch, slice_files, mark_epoch)
             try:
                 self._write_snapshot(
                     version=snap["version"] + 1,
@@ -519,6 +552,7 @@ class IceliteTable:
                     stats=stats,
                     deltas=deltas,
                     slices=slices,
+                    epoch_files=efiles,
                     expected_current=f"snapshot-{snap['version']:06d}.json",
                 )
             except CommitConflict:
@@ -630,6 +664,7 @@ class IceliteTable:
             stats={"compaction": True, "buckets": sorted(buckets)},
             deltas=deltas,
             slices=snap.get("slices", []),
+            epoch_files=snap.get("epoch_files", {}),
             # maintenance op: a CommitConflict escapes to the caller,
             # who re-reads and re-runs (the rewritten data dir would be
             # stale after a concurrent commit anyway)

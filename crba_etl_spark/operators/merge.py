@@ -55,6 +55,7 @@ def merge_epoch(
     quarantine_dir: str | None = None,
     slice_marker: str | None = None,
     mark_epoch: bool = True,
+    slice_files: list[str] | None = None,
 ) -> dict:
     """Apply one reduced batch (one row per key) to the table; commit
     atomically with the epoch marker. Returns apply stats.
@@ -102,7 +103,7 @@ def merge_epoch(
                 return _merge_attempt(
                     spark, table, batch, snap, epoch, affected, evolved,
                     payload_cols, key_cols, n_buckets, quarantine_dir,
-                    slice_marker, mark_epoch, t0,
+                    slice_marker, mark_epoch, slice_files, t0,
                 )
             except CommitConflict:
                 # a concurrent commit touched an affected bucket: our
@@ -130,6 +131,7 @@ def _merge_attempt(
     quarantine_dir: str | None,
     slice_marker: str | None,
     mark_epoch: bool,
+    slice_files: list[str] | None,
     t0: float,
 ) -> dict:
     """One COW merge attempt against the pinned base ``snap``. Raises
@@ -224,6 +226,7 @@ def _merge_attempt(
         slice_marker=slice_marker,
         mark_epoch=mark_epoch,
         base_snapshot=snap,
+        slice_files=slice_files,
     )
     return stats
 
@@ -237,6 +240,7 @@ def apply_delta_epoch(
     pre_partitioned: bool = False,
     slice_marker: str | None = None,
     mark_epoch: bool = True,
+    slice_files: list[str] | None = None,
 ) -> dict:
     """Merge-on-read apply (the sustained-throughput path): write the
     reduced batch as per-bucket **delta files** and commit — nothing in
@@ -338,5 +342,6 @@ def apply_delta_epoch(
         stats={k: v for k, v in stats.items() if k != "affected_buckets"},
         slice_marker=slice_marker,
         mark_epoch=mark_epoch,
+        slice_files=slice_files,
     )
     return stats

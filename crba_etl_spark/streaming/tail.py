@@ -22,7 +22,8 @@ form of this tail (editions = epochs) — SURVEY.md §2.9.
 
 from __future__ import annotations
 
-import os
+import json
+import os.path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -73,21 +74,32 @@ def stream_apply(
     each (epoch, micro-batch) slice commits under its own slice marker,
     so a partial first slice can never mark the whole epoch done and
     starve later slices — and a retried micro-batch (foreachBatch is
-    at-least-once, with a stable batch_id on retry) is a no-op. The epoch
-    id itself is only recorded in ``committed_epochs`` when the slice
-    provably contains every file of the epoch currently on disk, so a
-    subsequent batch replay won't skip a partially-streamed epoch.
+    at-least-once, with a stable batch_id on retry) is a no-op.
+
+    Epoch completeness is a PRODUCER-DECLARED contract, never inferred
+    from a directory listing: the producer writes an ``_DONE`` marker
+    per epoch declaring the epoch's full file set once everything is
+    durable (gen.py). A directory LIST is eventually consistent on an
+    object store and a producer may still be writing, but a GET of a
+    known marker key is strongly consistent. The epoch id enters
+    ``committed_epochs`` only when the CUMULATIVE union of source files
+    applied across all of the epoch's slices — persisted per epoch in
+    the snapshot (``epoch_files``), so it survives restarts and spans
+    micro-batches — covers the declared set; until then a later batch
+    replay re-applies nothing it shouldn't (slices dedupe themselves).
+    An epoch with no ``_DONE`` marker is treated as still open.
     """
     tail = open_tail(
         spark, events_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
     )
 
-    def _epoch_files_on_disk(k: int) -> set[str]:
-        d = os.path.join(events_dir, f"epoch={k}")
+    def _declared_files(k: int) -> set[str] | None:
+        """The producer's epoch-complete declaration — a GET, not a LIST."""
         try:
-            return {f for f in os.listdir(d) if f.endswith(".parquet")}
+            with open(os.path.join(events_dir, f"epoch={k}", "_DONE")) as f:
+                return set(json.load(f)["files"])
         except FileNotFoundError:
-            return set()
+            return None  # epoch still open: never mark it complete
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # one micro-batch may span several epochs: apply each in order,
@@ -105,14 +117,18 @@ def stream_apply(
             files_in_batch.setdefault(int(r[0]), set()).add(
                 os.path.basename(r[1])
             )
+        applied_so_far = engine.table.epoch_files()
         for k in sorted(files_in_batch):
             ev = batch.filter(F.col("epoch") == k)
-            complete = files_in_batch[k] >= _epoch_files_on_disk(k)
+            declared = _declared_files(k)
+            union = set(applied_so_far.get(str(k), [])) | files_in_batch[k]
+            complete = declared is not None and union >= declared
             engine.apply_epoch(
                 ev,
                 int(k),
                 slice_marker=f"e{k}:b{batch_id}",
                 mark_epoch=complete,
+                slice_files=sorted(files_in_batch[k]),
             )
 
     writer = (

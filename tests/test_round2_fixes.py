@@ -83,9 +83,17 @@ def test_stream_partial_epochs_across_microbatches(spark, tmpdir_):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # slices were the idempotence unit
     assert eng.table.committed_slices()
-    # no epoch was marked fully committed by a partial slice (each batch
-    # held a single file, and every epoch has >= 2)
-    assert eng.table.committed_epochs() == set()
+    # cumulative applied-file tracking across slices: once the union of
+    # slices covered the producer's _DONE declaration, every epoch was
+    # marked complete (round-2 ADVICE: single-slice comparison could
+    # never complete an epoch spanning micro-batches, so batch replay
+    # re-applied it redundantly)
+    assert eng.table.committed_epochs() == {0, 1, 2}
+    # completeness bookkeeping is dropped once the epoch id subsumes it
+    assert eng.table.epoch_files() == {}
+    # a later batch replay therefore skips everything
+    r = eng.replay(d)
+    assert r["epochs_applied"] == [] and r["epochs_skipped"] == [0, 1, 2]
 
     # redeliver with a fresh checkpoint: identical batching → all slices
     # skip; state unchanged either way (apply is state-idempotent)
