@@ -79,12 +79,26 @@ def _parquet(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     return r.parquet(spec.path)
 
 
+def _xlsx_parser(path, **kwargs):
+    """Stdlib .xlsx reader (see sources/xlsx.py) — openpyxl-free, so
+    SRC-XLS works in environments where pandas.read_excel cannot."""
+    from .xlsx import read_xlsx
+
+    return read_xlsx(path, **kwargs)
+
+
+#: parsers resolvable by name in ``pandas_files`` that are NOT pandas
+#: attributes — each takes (path, **kwargs) and returns a pd.DataFrame
+CUSTOM_PARSERS: dict[str, Callable] = {"xlsx": _xlsx_parser}
+
+
 @register_source("pandas_files")
 def _pandas_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     """Distributed ingest of pandas-only formats (xlsx/dta/...): the file
     list is parallelized; each partition parses whole files with pandas
     inside ``mapInPandas`` (Arrow-batched). ``spec.options['parser']``
-    names the pandas reader (read_excel / read_stata / read_csv...).
+    names either a pandas reader (read_excel / read_stata / read_csv...)
+    or a CUSTOM_PARSERS entry ('xlsx' → the stdlib zip+XML sheet reader).
 
     Reference analog: the excel/Stata adapters
     (/root/reference/etl/source_adapter/{excel,manual,wpa}.py:1-3).
@@ -97,10 +111,12 @@ def _pandas_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         raise ValueError("pandas_files requires an explicit schema")
     parser_name = spec.options.get("parser", "read_csv")
     # fail at PLAN time for a typo'd parser name, not inside an executor
-    if not callable(getattr(_pd, parser_name, None)):
+    if parser_name not in CUSTOM_PARSERS and not callable(
+        getattr(_pd, parser_name, None)
+    ):
         raise ValueError(
-            f"unknown pandas parser {parser_name!r} "
-            "(expected a pandas reader such as read_csv/read_excel/read_stata)"
+            f"unknown parser {parser_name!r} (expected a pandas reader such "
+            f"as read_csv/read_stata, or one of {sorted(CUSTOM_PARSERS)})"
         )
     parser_kwargs = {
         k: v for k, v in spec.options.items() if k not in ("parser",)
@@ -115,7 +131,9 @@ def _pandas_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     def parse(batches):
         import pandas as pd
 
-        parser = getattr(pd, parser_name)
+        from crba_etl_spark.sources.registry import CUSTOM_PARSERS as _custom
+
+        parser = _custom.get(parser_name) or getattr(pd, parser_name)
         for pdf in batches:
             for p in pdf["path"]:
                 try:
