@@ -887,7 +887,12 @@ _SQL_SHINGLES = """
 """
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
+def q_ngram_jaccard_exact_baseline(spark, sf_dir):
+    """EXACT-BASELINE, deliberately quadratic in posting-list length —
+    the recall/verification oracle for the LSH scale path, kept uncapped
+    so capped/LSH results can be asserted subsets of it. Never the query
+    to grab at scale: use `lsh_verified_pairs` (candidates → verify), or
+    call ngram_jaccard_pairs(max_doc_freq=...) to cap hot shingles."""
     return text_dedup.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.35
     )
@@ -1433,7 +1438,12 @@ def registry() -> dict[str, tuple]:
         "resolve_dirty_keys": (q_resolve_dirty_keys, SQL_RESOLVE_DIRTY_KEYS),
         "rollup_order_stats": (q_rollup_order_stats, SQL_ROLLUP_ORDER_STATS),
         "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
-        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+        # *_exact_baseline naming = the registry's own warning label: the
+        # quadratic forms exist only as recall oracles for the LSH paths
+        "ngram_jaccard_exact_baseline": (
+            q_ngram_jaccard_exact_baseline,
+            SQL_NGRAM_JACCARD_PAIRS,
+        ),
         "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
         "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),

@@ -46,9 +46,47 @@ def test_plan_invariants_and_regenerate_plans_md(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name
 
-    # the exact all-pairs baseline is the ONLY place a nested-loop join
-    # is allowed to exist (it is the verification oracle, not the path)
-    exact = plan_of(Q.q_cosine_near_dup_exact(spark, SF))
-    assert "BroadcastNestedLoopJoin" in exact or "CartesianProduct" in exact
+    # --- signature pipelines are materialized ONCE (round-2 VERDICT
+    # wrong #1: two identical shingle→signature subtrees fed each LSH
+    # self-join, doubling the dominant stage at scale). The formatted
+    # plan prints a cached relation's definition once, so exactly one
+    # occurrence of the expensive signature expression = one subtree.
+    def fplan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    mh = fplan(Q.q_minhash_lsh_candidates(spark, SF))
+    assert mh.count("sequence(1, greatest") == 1 and "InMemoryTableScan" in mh
+    sh = fplan(Q.q_simhash_near_pairs(spark, SF))
+    assert sh.count("sequence(1, greatest") == 1 and "InMemoryTableScan" in sh
+    el = fplan(Q.q_embedding_lsh_candidates(spark, SF))
+    # 16 hyperplane dot products (one per plane), not 32 (one per side)
+    from crba_etl_spark.operators.similarity import N_PLANES
+
+    assert el.count("zip_with") == N_PLANES and "InMemoryTableScan" in el
+
+    # --- registry-wide sweep: no data-sized nested-loop/cartesian join
+    # anywhere. A BroadcastNestedLoopJoin whose broadcast side is ONE row
+    # (a scalar aggregate or the query vector) is the scalar-subquery
+    # shape — O(n·1), scale-safe — and is allowlisted per query:
+    SCALAR_BROADCAST_OK = {
+        "snapshot_diff_events",  # half-max-LSN cutoff (1-row agg)
+        "cosine_topk",           # the query vector (1 row)
+        "ann_ivf_topk",          # cosine_topk within the probed cells
+    }
+    # the exact all-pairs cosine baseline is the ONLY registry query
+    # allowed a data×data nested-loop join (it is the recall oracle; the
+    # *_exact_baseline / *_exact names are the warning label)
+    for qname, (qfn, _sql) in Q.registry().items():
+        p = plan_of(qfn(spark, SF))
+        if qname == "cosine_near_dup_exact":
+            assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p
+            continue
+        assert "CartesianProduct" not in p, qname
+        if qname not in SCALAR_BROADCAST_OK:
+            assert "BroadcastNestedLoopJoin" not in p, qname
 
     write_plans_md(sections)

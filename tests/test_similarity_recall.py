@@ -46,7 +46,7 @@ def test_embedding_lsh_near_dup_recall_and_pruning(spark):
 def test_lsh_verified_jaccard_subset_of_exact(spark):
     exact = {
         (r.id_a, r.id_b, r.jaccard)
-        for r in Q.q_ngram_jaccard_pairs(spark, SF).collect()
+        for r in Q.q_ngram_jaccard_exact_baseline(spark, SF).collect()
     }
     verified = {
         (r.id_a, r.id_b, r.jaccard)
