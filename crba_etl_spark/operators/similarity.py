@@ -202,25 +202,51 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def lsh_params(
+    n: int, p_bit: float = 0.857, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """(n_bands, bits_per_band) sized for an n-vector table — the
+    log2(n) rule the docstrings prescribe, computed instead of assumed:
+
+    - ``bits_per_band = ceil(log2 n)`` keeps the expected bucket
+      fan-out O(1) (each band key space ~matches the table size);
+    - given per-bit agreement ``p_bit`` for the similarity regime the
+      operator claims (cos >= 0.9 → p = 1 - arccos(0.9)/pi = 0.857),
+      bands are the fewest b with 1-(1-p^bits)^b >= target_recall.
+
+    At n = 10^9 this yields 30-bit bands (store each band value in a
+    long) and ~40 bands — wide signatures, still one fixed-width row per
+    vector and equi-join candidate generation."""
+    import math
+
+    bits = max(4, math.ceil(math.log2(max(n, 2))))
+    p_band = p_bit**bits
+    bands = max(2, math.ceil(math.log(1 - target_recall) / math.log(1 - p_band)))
+    return bands, bits
+
+
 def hyperplane_bands(
     emb: DataFrame,
     dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = E_BANDS,
+    bits_per_band: int = E_BITS_PER_BAND,
 ) -> DataFrame:
     """(id, band_idx, band_val) rows: the sign-bit signature over
-    ``N_PLANES`` deterministic random hyperplanes, grouped into
-    ``E_BANDS`` bands of ``E_BITS_PER_BAND`` bits each. One scan, pure
-    JVM arithmetic (``zip_with``/``aggregate`` dot products against
-    literal plane vectors) — a fixed-width row per vector."""
+    ``n_bands * bits_per_band`` deterministic random hyperplanes, grouped
+    into ``n_bands`` bands. One scan, pure JVM arithmetic
+    (``zip_with``/``aggregate`` dot products against literal plane
+    vectors) — a fixed-width row per vector. Size the widths with
+    :func:`lsh_params` as the table grows."""
     v = _as_double(F.col(vec_col))
     band_structs = []
-    for b in range(E_BANDS):
+    for b in range(n_bands):
         val = None
-        for i in range(E_BITS_PER_BAND):
-            j = b * E_BITS_PER_BAND + i
+        for i in range(bits_per_band):
+            j = b * bits_per_band + i
             plane = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
-            bit = (dot(v, plane) >= 0).cast("int") * (1 << i)
+            bit = (dot(v, plane) >= 0).cast("long") * (1 << i)
             val = bit if val is None else val + bit
         band_structs.append(
             F.struct(F.lit(b).alias("band_idx"), val.alias("band_val"))
@@ -235,6 +261,8 @@ def embedding_lsh_candidates(
     dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = E_BANDS,
+    bits_per_band: int = E_BITS_PER_BAND,
 ) -> DataFrame:
     """Near-duplicate candidate pairs by random-hyperplane LSH: vectors
     sharing >= 1 of the 4 sign-bit bands. The join is an equi-join on
@@ -253,9 +281,11 @@ def embedding_lsh_candidates(
     Output: (id_a < id_b, n_shared_bands).
 
     The band relation is MATERIALIZED (persist) before the self-join so
-    the 16 plane dot products run once, not once per join side (see
+    the plane dot products run once, not once per join side (see
     minhash_lsh_candidates for the full rationale)."""
-    bands = hyperplane_bands(emb, dim, id_col, vec_col).persist()
+    bands = hyperplane_bands(
+        emb, dim, id_col, vec_col, n_bands=n_bands, bits_per_band=bits_per_band
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, on=["band_idx", "band_val"])
@@ -273,13 +303,19 @@ def cosine_near_dup_lsh(
     dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = E_BANDS,
+    bits_per_band: int = E_BITS_PER_BAND,
 ) -> DataFrame:
     """Embedding near-dup, the 100 TB composition: hyperplane-LSH
     candidates first (equi-join), exact cosine verification ONLY on the
     candidate pairs (two broadcastable-side joins back to the vectors) —
-    the quadratic all-pairs join never happens. Recall vs the exact form
-    is measured in tests and reported in COVERAGE.md."""
-    cand = embedding_lsh_candidates(emb, dim, id_col, vec_col)
+    the quadratic all-pairs join never happens. Band widths default to
+    the test-table sizing; pass :func:`lsh_params`(n) output for real
+    tables. Recall vs the exact form is measured in tests (incl. a
+    planted cos>=0.9 near-dup fixture) and reported in COVERAGE.md."""
+    cand = embedding_lsh_candidates(
+        emb, dim, id_col, vec_col, n_bands=n_bands, bits_per_band=bits_per_band
+    )
     a = emb.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
     return (
@@ -300,16 +336,44 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 4,
     iters: int = 2,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: k-means IVF, probing only the query's cell.
-    Exact within the probed cell; recall@k vs the exact ``cosine_topk``
-    is measured in tests and reported in COVERAGE.md. Deterministic end
-    to end (seedless init + decimal-exact Lloyd updates), so the DuckDB
-    oracle replays the identical centroids, assignment and result."""
-    assign = ivf_assign(emb, n_cells, iters, id_col, vec_col)
-    with_cell = emb.join(assign, id_col)
-    qcell = assign.filter(F.col(id_col) == query_vec_id).select("cell")
-    candidates = with_cell.join(F.broadcast(qcell), "cell")
+    """Approximate top-k: k-means IVF probing the ``n_probe`` cells whose
+    centroids are most cosine-similar to the QUERY VECTOR (ties → lower
+    cell id) — the knob every ANN user reaches for first: recall grows
+    with probes while the scan stays bounded to n_probe/n_cells of the
+    table. Exact within the probed cells; recall@k vs the exact
+    ``cosine_topk`` is measured in tests and reported in COVERAGE.md.
+    Deterministic end to end (seedless init + decimal-exact Lloyd
+    updates + an orderable probe-cell expression), so the DuckDB oracle
+    replays the identical centroids, probe list and result."""
+    cents = kmeans_fit(emb, n_cells, iters, id_col, vec_col)
+    e = emb.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assign = (
+        _assign_cells(e, cents).select("_id", "cell").withColumnRenamed("_id", id_col)
+    )
+    # rank all K cells by centroid·query similarity IN-PLAN (1 row × K
+    # structs, centroids are literals): sort desc on (sim, -cell) makes
+    # ties deterministic, slice takes the probe list
+    cell_structs = [
+        F.struct(
+            cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
+            F.lit(-cell).alias("negcell"),
+        )
+        for cell, cv in cents
+    ]
+    probe = (
+        e.filter(F.col("_id") == query_vec_id)
+        .select(
+            F.explode(
+                F.slice(F.sort_array(F.array(*cell_structs), asc=False), 1, n_probe)
+            ).alias("s")
+        )
+        .select((-F.col("s.negcell")).cast("int").alias("cell"))
+    )
+    candidates = emb.join(assign, id_col).join(F.broadcast(probe), "cell")
     return cosine_topk(candidates, query_vec_id, k, id_col, vec_col)

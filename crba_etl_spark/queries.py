@@ -1234,18 +1234,28 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF-probed approximate NN with k-means-trained centroids. Fully
-    deterministic (seedless init, decimal-exact Lloyd updates), so the
-    unrolled SQL below replays the identical training and probe."""
+    """IVF-probed approximate NN with k-means-trained centroids, probing
+    the 2 cells nearest the query (multi-probe). Fully deterministic
+    (seedless init, decimal-exact Lloyd updates, orderable probe list),
+    so the unrolled SQL below replays the identical training and probe."""
     return similarity.ivf_topk(
-        load(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, n_cells=4, iters=2
+        load(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=5,
+        n_cells=8,
+        iters=2,
+        n_probe=2,
     )
 
 
-def _sql_ann_ivf_topk(k_cells: int = 4, iters: int = 2, topk: int = 5) -> str:
-    """Unrolled Lloyd's k-means + IVF probe. Centroid means use
+def _sql_ann_ivf_topk(
+    k_cells: int = 8, iters: int = 2, topk: int = 5, n_probe: int = 2
+) -> str:
+    """Unrolled Lloyd's k-means + IVF multi-probe. Centroid means use
     DECIMAL(28,12)-exact sums — order-independent, hence bit-identical
-    to the Spark side's kmeans_fit."""
+    to the Spark side's kmeans_fit; the probe list is the query row's
+    top-``n_probe`` cells by centroid similarity (sim DESC, cell ASC),
+    the same orderable expression the Spark side evaluates."""
 
     def sim(a: str, b: str) -> str:
         return (
@@ -1297,13 +1307,19 @@ def _sql_ann_ivf_topk(k_cells: int = 4, iters: int = 2, topk: int = 5) -> str:
 )"""
     )
     parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(
+        f"""probe AS (
+  SELECT cell FROM sf WHERE vec_id = 0
+  ORDER BY sim DESC, cell ASC LIMIT {n_probe}
+)"""
+    )
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT e.vec_id, round({sim('e.v', 'q.qv')}, 6) AS cos_sim
 FROM af JOIN e USING (vec_id), q
-WHERE af.cell = (SELECT cell FROM af WHERE vec_id = 0) AND e.vec_id <> 0
+WHERE af.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
 ORDER BY cos_sim DESC, e.vec_id LIMIT {topk}
 """
     )

@@ -14,15 +14,28 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_ann_ivf_recall_at_5(spark):
-    approx = {r.vec_id for r in Q.q_ivf_topk(spark, SF).collect()}
+    """Multi-probe recall: the registry config (8 cells, n_probe=2 -> a
+    2/8 table scan) must reach recall@5 >= 0.9; single-probe stays the
+    cheap-and-cheerful floor."""
     exact = [
         r.vec_id
         for r in Q.similarity.cosine_topk(
             Q.load(spark, SF, "embeddings"), query_vec_id=0, k=5
         ).collect()
     ]
-    recall = len(approx & set(exact)) / len(exact)
-    assert recall >= 0.6, f"IVF recall@5 degraded: {recall}"
+    approx2 = {r.vec_id for r in Q.q_ivf_topk(spark, SF).collect()}
+    recall2 = len(approx2 & set(exact)) / len(exact)
+    assert recall2 >= 0.9, f"IVF n_probe=2 recall@5 degraded: {recall2}"
+    approx1 = {
+        r.vec_id
+        for r in Q.similarity.ivf_topk(
+            Q.load(spark, SF, "embeddings"),
+            query_vec_id=0, k=5, n_cells=8, iters=2, n_probe=1,
+        ).collect()
+    }
+    recall1 = len(approx1 & set(exact)) / len(exact)
+    assert recall1 >= 0.6, f"IVF n_probe=1 recall@5 degraded: {recall1}"
+    assert recall2 >= recall1  # more probes never lose neighbors
 
 
 def test_embedding_lsh_near_dup_recall_and_pruning(spark):
@@ -53,3 +66,58 @@ def test_lsh_verified_jaccard_subset_of_exact(spark):
         for r in Q.q_lsh_verified_pairs(spark, SF).collect()
     }
     assert verified <= exact
+
+
+def test_lsh_recall_on_planted_near_dups(spark):
+    """Round-2 VERDICT #4: measure recall in the regime the operator
+    CLAIMS (true near-dups, cos >= 0.9) instead of only the tau=0.4
+    near-uniform regime, with band widths auto-sized by lsh_params(n)
+    (the log2(n) rule the docstring prescribes). Plant deterministic
+    perturbed copies of real vectors (relative noise ~0.3 -> cos ~0.95)
+    and require the LSH path to find >= 90% of them."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    base = (
+        Q.load(spark, SF, "embeddings")
+        .orderBy("vec_id")
+        .limit(120)
+        .toPandas()
+    )
+    rows = [(int(r.vec_id), list(map(float, r.embedding))) for r in base.itertuples()]
+
+    def noise(vid, d):  # deterministic, engine-independent
+        h = int(hashlib.md5(f"plant:{vid}:{d}".encode()).hexdigest()[:8], 16)
+        return h / 2**31 - 1.0
+
+    planted = []
+    for vid, v in rows[:30]:
+        v = np.asarray(v)
+        u = np.asarray([noise(vid, d) for d in range(len(v))])
+        u = u / np.linalg.norm(u) * 0.3 * np.linalg.norm(v)
+        planted.append((100000 + vid, [float(x) for x in v + u]))
+    all_rows = rows + planted
+    emb = spark.createDataFrame(
+        pd.DataFrame(all_rows, columns=["vec_id", "embedding"])
+    )
+
+    planted_pairs = {(vid, 100000 + vid) for vid, _ in rows[:30]}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in Q.similarity.cosine_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert planted_pairs <= exact  # the perturbation really is cos >= 0.9
+
+    n_bands, bits = Q.similarity.lsh_params(len(all_rows))
+    assert bits >= 7  # auto-sizing actually scaled past the 4-bit default
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in Q.similarity.cosine_near_dup_lsh(
+            emb, threshold=0.9, n_bands=n_bands, bits_per_band=bits
+        ).collect()
+    }
+    assert lsh <= exact  # exact verification -> zero false positives
+    recall = len(lsh & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.9, f"planted near-dup recall {recall} (bands={n_bands}, bits={bits})"
