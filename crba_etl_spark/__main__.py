@@ -54,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-tombstones", action="store_true")
 
     p = sub.add_parser("check")
+    p.add_argument("--html", help="also render the report as a data-docs HTML page")
     common(p)
     p.add_argument("--report", default=None)
 
@@ -108,9 +109,11 @@ def main(argv: list[str] | None = None) -> int:
         engine.compact(drop_tombstones=args.drop_tombstones)
         print(json.dumps({"version": engine.table.snapshot()["version"]}))
     elif args.cmd == "check":
-        from .checks import run_checks
+        from .checks import run_checks, write_report_html
 
         report = run_checks(spark, engine.table, report_dir=args.report)
+        if args.html:
+            write_report_html(report, args.html)
         print(json.dumps(report))
         return 0 if all(r["passed"] for r in report["checks"]) else 1
     elif args.cmd == "metrics":

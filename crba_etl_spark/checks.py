@@ -191,3 +191,57 @@ def run_checks(
         with open(path, "w") as f:
             json.dump(report, f, indent=1)
     return report
+
+
+def render_report_html(report: dict) -> str:
+    """Self-contained HTML data-docs page for a quality report — the
+    reference's user-facing validation surface (great_expectations data
+    docs, ``/root/reference/validation/great_expectations/
+    great_expectations.yml:3`` with custom CSS plugins), reduced to one
+    dependency-free document: a summary banner plus one row per check
+    with a pass/fail badge, violation count, and observed value."""
+    import html as _html
+
+    def esc(x) -> str:
+        return _html.escape(str(x))
+
+    badge_css = (
+        ".pass{background:#1a7f37;color:#fff}.fail{background:#b42318;color:#fff}"
+        ".badge{display:inline-block;padding:2px 10px;border-radius:10px;"
+        "font-size:12px;font-weight:600}"
+    )
+    status = "PASSED" if report["all_passed"] else "FAILED"
+    rows_html = []
+    for r in report["checks"]:
+        cls = "pass" if r["passed"] else "fail"
+        obs = r.get("observed", "")
+        rows_html.append(
+            f"<tr><td>{esc(r['check'])}</td>"
+            f"<td><span class='badge {cls}'>{'pass' if r['passed'] else 'FAIL'}</span></td>"
+            f"<td>{esc(r['violations'])}</td><td>{esc(obs)}</td></tr>"
+        )
+    return f"""<!doctype html>
+<html><head><meta charset="utf-8"><title>quality report — {esc(report['table'])}</title>
+<style>
+body{{font-family:system-ui,sans-serif;margin:2rem;color:#1f2328}}
+table{{border-collapse:collapse;min-width:40rem}}
+th,td{{border:1px solid #d0d7de;padding:6px 12px;text-align:left}}
+th{{background:#f6f8fa}}
+.summary{{margin-bottom:1rem}}
+{badge_css}
+</style></head><body>
+<h1>Quality report <span class="badge {'pass' if report['all_passed'] else 'fail'}">{status}</span></h1>
+<p class="summary">table <code>{esc(report['table'])}</code> ·
+snapshot v{esc(report['snapshot_version'])} · {esc(report['rows'])} rows ·
+{sum(1 for r in report['checks'] if r['passed'])}/{len(report['checks'])} checks passed ·
+{esc(report['elapsed_s'])}s</p>
+<table>
+<tr><th>check</th><th>status</th><th>violations</th><th>observed</th></tr>
+{''.join(rows_html)}
+</table></body></html>
+"""
+
+
+def write_report_html(report: dict, path: str) -> None:
+    with open(path, "w") as f:
+        f.write(render_report_html(report))

@@ -142,3 +142,38 @@ def test_stateful_conversation_progress(spark, stream, tmpdir_):
     joined = got.join(exp, lsuffix="_g", rsuffix="_e")
     assert (joined["max_lsn_g"] == joined["max_lsn_e"]).all()
     assert (joined["turns_g"] == joined["turns_e"]).all()
+
+
+def test_check_html_report_renders(spark, stream, tmpdir_):
+    """`check --html out.html` (VERDICT r2 #9): the data-docs surface —
+    every check renders as a row with a pass/fail badge; the summary
+    carries table/version/row count; a failing suite renders FAIL."""
+    from crba_etl_spark.checks import (
+        CheckSpec, default_suite, render_report_html, run_checks,
+    )
+
+    table = os.path.join(tmpdir_, "t")
+    eng = CDCEngine(spark, table, n_buckets=4, mode="mor")
+    eng.replay(stream)
+
+    # CLI path: subprocess renders the file
+    out_html = os.path.join(tmpdir_, "report.html")
+    r = subprocess.run(
+        [sys.executable, "-m", "crba_etl_spark", "check", "--table", table,
+         "--n-buckets", "4", "--html", out_html],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"}, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    html = open(out_html).read()
+    for spec in default_suite():
+        assert f"<td>{spec.name}</td>" in html  # one row per check
+    assert "PASSED" in html and "FAIL</span>" not in html
+
+    # failing suite renders the failure loudly (in-process)
+    rep = run_checks(
+        spark, eng.table,
+        suite=[CheckSpec(name="impossible_rows", kind="row_count", max_rows=0)],
+    )
+    bad = render_report_html(rep)
+    assert "FAILED" in bad and "impossible_rows" in bad and "FAIL</span>" in bad
