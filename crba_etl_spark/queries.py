@@ -611,6 +611,36 @@ FROM orders GROUP BY 1
 """
 
 
+def q_order_price_quantiles_approx(spark, sf_dir):
+    """The form actually RUN at 100 TB: single-pass sketch percentiles
+    (Greenwald-Khanna summaries, bounded memory per group) instead of
+    exact `percentile`, which buffers every group value. Same call
+    shape, same output schema as the exact twin. No SQL oracle by
+    design — sketch internals are engine-specific, so the driver records
+    the weaker rows-only check; accuracy vs the exact twin is asserted
+    in tests/test_approx_sketches.py instead."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.99, 10000)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_distinct_users_approx(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++, rsd=1%) per event type — the
+    100 TB form of AGG-DISTINCT: fixed-size sketch per group, map-side
+    combinable, vs exact count_distinct's expanded shuffle. No SQL
+    oracle (HLL registers are engine-specific); error vs the exact
+    count is asserted in tests/test_approx_sketches.py."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_universe_fill(spark, sf_dir):
     """JOIN-UNIVERSE + FILL (§2.3, §2.8): every nation appears even with
     zero customers — the reference's right-join to the country universe
@@ -1443,6 +1473,10 @@ def registry() -> dict[str, tuple]:
         "minmax_scale_orders": (q_minmax_scale_orders, SQL_MINMAX_SCALE_ORDERS),
         "scale_inverted_log": (q_scale_inverted_log, SQL_SCALE_INVERTED_LOG),
         "order_price_quantiles": (q_order_price_quantiles, SQL_ORDER_PRICE_QUANTILES),
+        # sketch forms: deliberately NO SQL oracle (engine-specific
+        # internals); accuracy vs the exact twins is pytest-asserted
+        "order_price_quantiles_approx": (q_order_price_quantiles_approx, None),
+        "distinct_users_approx": (q_distinct_users_approx, None),
         "universe_fill": (q_universe_fill, SQL_UNIVERSE_FILL),
         "users_without_purchase": (
             q_users_without_purchase,
