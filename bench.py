@@ -86,9 +86,10 @@ def stream_dir() -> str:
     return _gen_stream(
         os.path.join(
             tempfile.gettempdir(),
-            # v3: generator fix — duplicates straddling the evolution
-            # boundary now carry their original (pre-evolution) payload
-            f"crba_bench_stream_v3_{REPLAY_EVENTS}_{REPLAY_EPOCHS}_{TEXT_PAD}",
+            # v4: generator now writes per-epoch _DONE completeness
+            # markers (v3: duplicates straddling the evolution boundary
+            # carry their original pre-evolution payload)
+            f"crba_bench_stream_v4_{REPLAY_EVENTS}_{REPLAY_EPOCHS}_{TEXT_PAD}",
         ),
         REPLAY_EVENTS,
         REPLAY_EPOCHS,
@@ -100,11 +101,37 @@ def warmup_stream_dir() -> str:
     """A small single-epoch stream used to JIT the whole apply path
     (codegen, Arrow, parquet writer) before the timed run."""
     return _gen_stream(
-        os.path.join(tempfile.gettempdir(), f"crba_bench_warmup_{TEXT_PAD}"),
-        1_000_000,
+        os.path.join(tempfile.gettempdir(), f"crba_bench_warmup_v4_{TEXT_PAD}"),
+        2_000_000,
         1,
         None,
     )
+
+
+def warm_until_plateau(
+    spark, base: str, tag: str, max_iters: int = 8, plateau_ratio: float = 1.2
+) -> list[float]:
+    """Replay the warmup epoch on fresh tables until the apply rate
+    PLATEAUS (next epoch < plateau_ratio x previous) instead of a fixed
+    single shot — round-2 lesson: one 1M-event epoch left the first 1-2
+    timed epochs 3-6x below sustained (C2 JIT of the codegen'd apply
+    path needs more invocations). Returns the observed warmup rates."""
+    import shutil as _sh
+
+    from crba_etl_spark.engine import CDCEngine
+
+    wdir = warmup_stream_dir()
+    rates: list[float] = []
+    for i in range(max_iters):
+        root = os.path.join(base, f"crba_bench_warm_{tag}_{i}")
+        _sh.rmtree(root, ignore_errors=True)
+        res = CDCEngine(spark, root, n_buckets=32, mode="mor").replay(wdir)
+        _sh.rmtree(root, ignore_errors=True)
+        e = res["per_epoch"][0]
+        rates.append(round(e["events_in"] / e["apply_s"], 1))
+        if len(rates) >= 2 and rates[-1] < plateau_ratio * rates[-2]:
+            break
+    return rates
 
 
 def run_replay(spark, table_root: str) -> dict:
@@ -142,14 +169,9 @@ def replay_only(cpus: int, as_json: bool) -> dict:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     import shutil as _sh
 
-    # untimed JIT warmup epoch (see full_bench); the scaling estimator
-    # additionally drops each run's first timed epoch
-    from crba_etl_spark.engine import CDCEngine
-
-    warm = os.path.join(base, f"crba_bench_warmup_table_{cpus}")
-    _sh.rmtree(warm, ignore_errors=True)
-    CDCEngine(spark, warm, n_buckets=32, mode="mor").replay(warmup_stream_dir())
-    _sh.rmtree(warm, ignore_errors=True)
+    # untimed JIT warmup to plateau (see warm_until_plateau); the
+    # scaling estimator additionally drops each run's first timed epoch
+    warm_rates = warm_until_plateau(spark, base, f"r{cpus}")
 
     root = os.path.join(base, f"crba_bench_table_{cpus}")
     res = run_replay(spark, root)
@@ -166,6 +188,7 @@ def replay_only(cpus: int, as_json: bool) -> dict:
         "epoch_rates": [
             round(e["events_in"] / e["apply_s"], 1) for e in res["per_epoch"]
         ],
+        "warmup_rates": warm_rates,
     }
     if as_json:
         print(json.dumps(out))
@@ -209,12 +232,7 @@ def full_bench() -> None:
     # target runs for hours, so steady-state is the honest number)
     import shutil as _sh
 
-    warm_root = os.path.join(base, "crba_bench_warmup_table")
-    from crba_etl_spark.engine import CDCEngine
-
-    _sh.rmtree(warm_root, ignore_errors=True)
-    CDCEngine(spark, warm_root, n_buckets=32, mode="mor").replay(warmup_stream_dir())
-    _sh.rmtree(warm_root, ignore_errors=True)
+    warm_rates = warm_until_plateau(spark, base, "full")
 
     # TWO full replays: the sustained-rate median then draws on 12 epoch
     # samples instead of 6 — this host's 30-60s stall waves can depress
@@ -224,11 +242,12 @@ def full_bench() -> None:
     table_root = os.path.join(base, "crba_bench_table")
     t0 = time.monotonic()
     epoch_samples = []
+    replay_medians = []
     for _rep in range(2):
         res = run_replay(spark, table_root)
-        epoch_samples += [
-            round(e["events_in"] / e["apply_s"], 1) for e in res["per_epoch"]
-        ]
+        rates = [round(e["events_in"] / e["apply_s"], 1) for e in res["per_epoch"]]
+        epoch_samples += rates
+        replay_medians.append(round(statistics.median(rates), 1))
         _sh.rmtree(table_root, ignore_errors=True)
     timings["cdc_replay_apply"] = round(time.monotonic() - t0, 3)
 
@@ -242,13 +261,21 @@ def full_bench() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    epoch_rates = epoch_samples
+    epoch_rates = epoch_samples  # ALL timed epochs — no excluded samples
     # BASELINE.json's metric is SUSTAINED apply events/sec; the median of
-    # per-epoch rates is the sustained estimator (same one the --scaling
-    # protocol uses and documents): this shared VM stalls in 30-60s
-    # waves that hit individual epochs 5-7x while neighbors in the SAME
-    # run hold >1M ev/s — a whole-run wall quotient measures the host's
-    # worst wave, not the engine. Wall-based rate reported alongside.
+    # per-epoch rates is the sustained estimator. Round-2 ADVICE: an
+    # ungated median could hide a GENUINE engine slowdown as "host
+    # noise", so the estimator is TREND-GATED: an engine-wide regression
+    # (leak, code-cache exhaustion, table-size creep) persists through
+    # the final replay, while this host's documented 30-60s noise waves
+    # are transient — if the last replay's median falls below 60% of the
+    # overall median, the headline falls back to min(median, wall) and
+    # can never overstate. Wall quotient + dispersion always reported.
+    wall_rate = round(2 * res["events_applied"] / timings["cdc_replay_apply"], 1)
+    med_rate = round(statistics.median(epoch_rates), 1)
+    spread = round(max(epoch_rates) / min(epoch_rates), 2)
+    trend_ok = replay_medians[-1] >= 0.6 * med_rate
+    headline_rate = med_rate if trend_ok else min(med_rate, wall_rate)
     print(
         json.dumps(
             {
@@ -257,12 +284,17 @@ def full_bench() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc_events_per_sec": round(statistics.median(epoch_rates), 1),
-                "cdc_events_per_sec_wall": round(
-                    2 * res["events_applied"] / timings["cdc_replay_apply"], 1
+                "cdc_events_per_sec": headline_rate,
+                "cdc_rate_estimator": (
+                    "epoch_median" if trend_ok else "wall_gated"
                 ),
+                "cdc_rate_dispersion": spread,
+                "cdc_replay_medians": replay_medians,
+                "cdc_events_per_sec_wall": wall_rate,
+                "cdc_events_per_sec_median": med_rate,
                 "cdc_events_applied": 2 * res["events_applied"],
                 "cdc_epoch_rates": epoch_rates,
+                "cdc_warmup_rates": warm_rates,
                 "cpus": int(CPUS),
             }
         )
