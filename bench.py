@@ -314,9 +314,11 @@ def scaling(n_rounds: int = 5) -> None:
     - configs are INTERLEAVED (4,16,4,16,...) so a noisy window cannot
       bias one config;
     - the sustained-rate estimator is the median of per-EPOCH apply rates
-      across all runs, excluding each fresh JVM's first epoch (warmup);
-      a noise spike stalls individual epochs, and the median rejects it —
-      run-total wall time is also reported for transparency.
+      across all runs — ALL epochs, no exclusions (each subprocess now
+      warms its JVM to plateau before the timed replay, so there is no
+      cold first epoch to drop); a noise spike stalls individual epochs,
+      and the median rejects it — run-total wall time is also reported
+      for transparency.
     """
     stream_dir()  # materialize once; subprocesses reuse
     n_small = int(os.environ.get("BENCH_SCALING_SMALL", "2"))
@@ -337,14 +339,12 @@ def scaling(n_rounds: int = 5) -> None:
         results[cpus].append(r)
         print(f"run #{i} cpus={cpus}: {r}", file=sys.stderr)
 
-    # fresh-JVM warmup (codegen JIT, buffer pools) measurably depresses
-    # the first ~2 epochs; drop REPLAY_EPOCHS/4 (min 1) as warmup
-    warmup = max(1, REPLAY_EPOCHS // 4)
-
     def epoch_median(cpus: int) -> float:
+        # no warmup exclusion: replay_only warms each JVM to plateau
+        # before its timed replay, so every epoch is a steady-state sample
         rates: list[float] = []
         for r in results[cpus]:
-            rates.extend(r["epoch_rates"][warmup:])
+            rates.extend(r["epoch_rates"])
         return statistics.median(rates)
 
     med_small, med_big = epoch_median(n_small), epoch_median(n_big)
@@ -384,7 +384,7 @@ stream (seed=42, {ev:,} events incl. duplicates, {REPLAY_EPOCHS} epochs,
 identical cached input at both parallelism levels, fresh JVM per run,
 configs interleaved in time.
 
-| config | sustained apply events/sec (median of per-epoch rates, first {max(1, REPLAY_EPOCHS // 4)} warmup epoch(s) excluded) |
+| config | sustained apply events/sec (median of per-epoch rates over all runs; every epoch counted — JVMs are warmed to plateau before timing, no excluded samples) |
 |---|---|
 | local[{ns}]  | {out['tput_small']:,.0f} |
 | local[{nb}] | {out['tput_big']:,.0f} |

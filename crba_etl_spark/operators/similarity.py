@@ -101,6 +101,21 @@ def _assign_cells(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFra
     return e.select("_id", "v", (-m["negcell"]).cast("int").alias("cell"))
 
 
+def _centroid_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd centroid update over the carried vectors: posexplode +
+    two-phase hash agg with DECIMAL-exact sums. A pure projection+agg —
+    tests assert its plan contains NO join (the round-2 per-iteration
+    assignments⋈vectors shuffle is gone)."""
+    return (
+        assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     n_cells: int = 4,
@@ -130,16 +145,7 @@ def kmeans_fit(
     for _ in range(iters):
         # single pass: assignment carries v, so the centroid update is a
         # projection + two-phase agg over ONE scan — no self-join
-        assigned = _assign_cells(e, cents)
-        sums = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(
-                F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
+        sums = _centroid_update(_assign_cells(e, cents)).collect()
         by_cell: dict[int, dict[int, float]] = {}
         for r in sums:
             # float(Decimal) is correctly rounded == DuckDB's DECIMAL→

@@ -58,6 +58,13 @@ def test_plan_invariants_and_regenerate_plans_md(spark):
             )
         )
 
+    # deterministic cache state: a MATERIALIZED InMemoryRelation (left
+    # behind by earlier tests in the session) prints its definition once
+    # per scan node, a fresh one exactly once — the count-based
+    # assertions below need the fresh state (the compute is shared either
+    # way; this is a formatting quirk, not duplicated work)
+    spark.catalog.clearCache()
+
     mh = fplan(Q.q_minhash_lsh_candidates(spark, SF))
     assert mh.count("sequence(1, greatest") == 1 and "InMemoryTableScan" in mh
     sh = fplan(Q.q_simhash_near_pairs(spark, SF))
@@ -67,6 +74,23 @@ def test_plan_invariants_and_regenerate_plans_md(spark):
     from crba_etl_spark.operators.similarity import N_PLANES
 
     assert el.count("zip_with") == N_PLANES and "InMemoryTableScan" in el
+
+    # --- one Lloyd iteration of kmeans_fit is projection + agg only: the
+    # round-2 per-iteration assignments⋈vectors re-join is gone
+    from pyspark.sql import functions as F
+
+    from crba_etl_spark.operators import similarity as S
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    cents = [(0, [0.1] * 64), (1, [0.2] * 64)]  # literal centroids suffice
+    step = plan_of(S._centroid_update(S._assign_cells(e, cents)))
+    assert "Join" not in step
 
     # --- registry-wide sweep: no data-sized nested-loop/cartesian join
     # anywhere. A BroadcastNestedLoopJoin whose broadcast side is ONE row
