@@ -373,6 +373,25 @@ def scaling(n_rounds: int = 5) -> None:
 
 def _write_baseline_md(out: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
+    # preserve the measurement-history section across regenerations and
+    # append this run — scaling numbers on this shared VM move with the
+    # host's noise phase, so a single snapshot would over- or under-state
+    history = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if "## Measurement history" in old:
+            history = old.split("## Measurement history", 1)[1].strip("\n")
+    except FileNotFoundError:
+        pass
+    entry = (
+        f"- eff {out['scaling_efficiency']} "
+        f"(local[{out['n_small']}] {out['tput_small']:,.0f} / "
+        f"local[{out['n_big']}] {out['tput_big']:,.0f} ev/s, "
+        f"{out['events']:,} events x {len(out['runs'][str(out['n_small'])])} "
+        f"interleaved runs per config)"
+    )
+    history = (entry + "\n" + history).strip("\n")
     ev = out["events"]
     ns, nb = out["n_small"], out["n_big"]
     md = f"""# BENCH/BASELINE — measured numbers (protocol: /root/repo/BASELINE.md)
@@ -423,6 +442,17 @@ and is the single repartition on conv_id (bucket-aligned, so neither the
 reduce nor the bucketed write shuffles again), so
 the single-node rate scales with executors the same way the measured
 N→4N pair does here. No cluster run is claimed.
+"""
+    md += f"""
+## Measurement history
+
+Newest first; same protocol each time (fresh JVMs, interleaved configs,
+per-epoch-rate medians). The spread across entries is the host's noise
+phase, not engine drift — correctness-identical code measured hours
+apart moves both configs together, the 8-thread config more (shared-VM
+contention eats headroom disproportionately at higher parallelism).
+
+{history}
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

@@ -176,10 +176,15 @@ class IceliteTable:
         n_buckets: int = 32,
         key_cols: list[str] | None = None,
         overwrite: bool = False,
+        io: LocalManifestIO | None = None,
     ) -> "IceliteTable":
-        if LocalManifestIO(root).read_current() is not None:
+        """``io`` swaps the manifest/pointer backend (the object-store
+        seam) — data files always live under ``root`` on whatever
+        filesystem Spark writes to."""
+        io = io or LocalManifestIO(root)
+        if io.read_current() is not None:
             if not overwrite:
-                t = cls(root)
+                t = cls(root, io=io)
                 fn = t.snapshot().get("bucket_fn", BUCKET_FN)
                 if fn != BUCKET_FN:
                     raise ValueError(
@@ -191,7 +196,7 @@ class IceliteTable:
             shutil.rmtree(root)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        t = cls(root)
+        t = cls(root, io=io)
         t._key_cols = list(key_cols or ["conv_id", "turn_idx"])
         t._write_snapshot(
             version=0,
