@@ -106,6 +106,7 @@ class CDCEngine:
         slice_marker: str | None = None,
         mark_epoch: bool = True,
         slice_files: list[str] | None = None,
+        source_aligned: bool = False,
     ) -> dict:
         """Dedup + reduce + merge + commit one epoch. No-op if the epoch
         is already committed (exactly-once under redelivery).
@@ -117,7 +118,22 @@ class CDCEngine:
         epoch id out of ``committed_epochs`` when the slice is not known
         to complete the epoch; ``slice_files`` records the slice's source
         file names in the snapshot so completeness can be decided from
-        the cumulative union across slices (see streaming/tail.py)."""
+        the cumulative union across slices (see streaming/tail.py).
+
+        ``source_aligned=True`` (MOR mode): the caller guarantees the
+        events are ALREADY clustered by the table's bucket function —
+        a Spark table bucketed by (n_buckets, conv_id), or a keyed
+        Kafka topic with partitions = buckets (icelite.bucket_expr is
+        deliberately identical to Spark's repartition/bucketBy murmur3
+        hash so such producers align without re-hashing). The apply
+        then runs EXCHANGE-FREE end to end: the reduce needs no
+        shuffle (bucket partitioning satisfies the group clustering)
+        and the bucketed write none either — measured, this removes
+        the per-epoch exchange (~45% of epoch cost locally; the only
+        network shuffle on a cluster; BENCH/EPOCH_PROFILE.md). Safe on
+        misaligned input: Catalyst inserts the missing exchange for
+        the reduce and the write assigns buckets by VALUE, so the
+        penalty is extra files per bucket — never wrong rows."""
         if slice_marker is not None:
             if slice_marker in self.table.committed_slices():
                 return {"epoch": epoch, "skipped": True, "reason": "slice committed"}
@@ -129,7 +145,11 @@ class CDCEngine:
         from pyspark.sql import functions as F
 
         pre_partitioned = self.mode == "mor"
-        if pre_partitioned:
+        if pre_partitioned and source_aligned:
+            # producer already clustered rows by the bucket function —
+            # skip THE one exchange of the epoch entirely
+            pass
+        elif pre_partitioned:
             # THE one exchange of the epoch: repartition(N, conv_id) with
             # N = table bucket count and bucket = pmod(hash(conv_id), N)
             # (see icelite.bucket_expr) both clusters rows for the
