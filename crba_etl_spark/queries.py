@@ -1278,21 +1278,20 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
-def _sql_ann_ivf_topk(
-    k_cells: int = 8, iters: int = 2, topk: int = 5, n_probe: int = 2
-) -> str:
-    """Unrolled Lloyd's k-means + IVF multi-probe. Centroid means use
-    DECIMAL(28,12)-exact sums — order-independent, hence bit-identical
-    to the Spark side's kmeans_fit; the probe list is the query row's
-    top-``n_probe`` cells by centroid similarity (sim DESC, cell ASC),
-    the same orderable expression the Spark side evaluates."""
+def _sql_sim(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
 
-    def sim(a: str, b: str) -> str:
-        return (
-            f"list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-        )
 
+def _sql_kmeans_parts(k_cells: int, iters: int) -> list[str]:
+    """Shared unrolled-Lloyd CTE chain ending in ``af`` (the final
+    per-vector cell assignment) — used by the IVF-ANN oracle and the
+    document-clustering oracle. Centroid means use DECIMAL(28,12)-exact
+    sums — order-independent, hence bit-identical to the Spark side's
+    kmeans_fit."""
+    sim = _sql_sim
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id::INT AS cell, v AS cv FROM e WHERE vec_id < {k_cells})",
@@ -1336,6 +1335,18 @@ def _sql_ann_ivf_topk(
   ) WHERE rn = 1
 )"""
     )
+    return parts
+
+
+def _sql_ann_ivf_topk(
+    k_cells: int = 8, iters: int = 2, topk: int = 5, n_probe: int = 2
+) -> str:
+    """Unrolled Lloyd's k-means + IVF multi-probe (see
+    :func:`_sql_kmeans_parts`); the probe list is the query row's
+    top-``n_probe`` cells by centroid similarity (sim DESC, cell ASC),
+    the same orderable expression the Spark side evaluates."""
+    sim = _sql_sim
+    parts = _sql_kmeans_parts(k_cells, iters)
     parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     parts.append(
         f"""probe AS (
@@ -1353,6 +1364,50 @@ WHERE af.cell IN (SELECT cell FROM probe) AND e.vec_id <> 0
 ORDER BY cos_sim DESC, e.vec_id LIMIT {topk}
 """
     )
+
+
+def q_doc_clusters(spark, sf_dir):
+    """Document/embedding clustering (curation: topic bucketing,
+    cluster-stratified sampling, per-cluster dedup scopes): every vector
+    labeled with its k-means cell under the deterministic Lloyd's
+    training (seedless init, decimal-exact updates) — the same trained
+    assignment IVF-ANN probes, exposed as a first-class output. At
+    scale the cell is a partition key (write the corpus partitioned by
+    it) so any per-cluster pass prunes to one cell's files."""
+    from .operators.similarity import ivf_assign
+
+    return ivf_assign(
+        load(spark, sf_dir, "embeddings"), n_cells=8, iters=2
+    ).select("vec_id", "cell")
+
+
+def _sql_doc_clusters(k_cells: int = 8, iters: int = 2) -> str:
+    parts = _sql_kmeans_parts(k_cells, iters)
+    return "WITH " + ",\n".join(parts) + "\nSELECT vec_id, cell FROM af"
+
+
+def q_length_histogram(spark, sf_dir):
+    """Corpus length distribution in log2 buckets (the curation
+    dashboard every training-data pipeline starts from: truncation
+    thresholds, packing efficiency, outlier hunting). One scan, one
+    map-side-combinable agg; bucket count is O(log max_len) so the
+    result is driver-tiny at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.length("text") + 1)).cast("int")
+    return docs.groupBy(bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(log2(length(text) + 1)) AS INT) AS len_bucket,
+       count(*) AS n_docs,
+       min(length(text)) AS min_len,
+       max(length(text)) AS max_len
+FROM documents GROUP BY 1
+"""
 
 
 def q_cosine_near_dup_exact(spark, sf_dir):
@@ -1477,6 +1532,8 @@ def registry() -> dict[str, tuple]:
         # internals); accuracy vs the exact twins is pytest-asserted
         "order_price_quantiles_approx": (q_order_price_quantiles_approx, None),
         "distinct_users_approx": (q_distinct_users_approx, None),
+        "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
+        "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
         "universe_fill": (q_universe_fill, SQL_UNIVERSE_FILL),
         "users_without_purchase": (
             q_users_without_purchase,
