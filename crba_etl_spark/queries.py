@@ -1410,6 +1410,69 @@ FROM documents GROUP BY 1
 """
 
 
+def q_pack_contiguous(spark, sf_dir):
+    """Deterministic context-window packing: documents fill 4096-char
+    bins in doc_id order (bin = floor(running_prefix/capacity) over the
+    cumulative length EXCLUDING the current doc). Contiguous-fill is
+    the packing a streaming tokenizer applies; it is order-stable and
+    engine-portable, unlike greedy best-fit (whose assignment depends
+    on traversal order no SQL engine pins). One window over one sort —
+    at scale, partition by shard/split first and pack within shards so
+    the window never sees the whole corpus (the global form here is the
+    oracle shape)."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(F.length("text")).over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("doc_len"),
+        F.floor(prefix / 4096).cast("int").alias("pack_bin"),
+    )
+
+
+SQL_PACK_CONTIGUOUS = """
+SELECT doc_id, length(text) AS doc_len,
+       CAST(floor(coalesce(sum(length(text)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 4096) AS INT) AS pack_bin
+FROM documents
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: up to 3 documents per
+    language stratum, ranked by an md5 hash of the doc id (ties by
+    doc_id) — content-stable across engines, runs and partitionings
+    (never rand(), same rule as hash_split_sample). The shape every
+    balanced eval/training subset draws: per-stratum top-k under a
+    reproducible pseudo-random order."""
+    from .operators.text_analysis import lang_id
+
+    docs = lang_id(load(spark, sf_dir, "documents"))
+    rank_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang_pred").orderBy(rank_key, "doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "lang_pred", F.col("_rn").alias("sample_rank"))
+    )
+
+
+def _sql_stratified_sample() -> str:
+    # the language stratum comes from the SAME oracle SQL lang_id uses
+    return f"""
+WITH l AS ({SQL_LANG_ID}),
+r AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (
+           PARTITION BY lang_pred ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS sample_rank
+  FROM l
+)
+SELECT doc_id, lang_pred, sample_rank FROM r WHERE sample_rank <= 3
+"""
+
+
 def q_cosine_near_dup_exact(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact all-pairs form — the
     recall baseline the LSH path is measured against (quadratic; never
@@ -1534,6 +1597,8 @@ def registry() -> dict[str, tuple]:
         "distinct_users_approx": (q_distinct_users_approx, None),
         "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
         "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
+        "pack_contiguous": (q_pack_contiguous, SQL_PACK_CONTIGUOUS),
+        "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
         "universe_fill": (q_universe_fill, SQL_UNIVERSE_FILL),
         "users_without_purchase": (
             q_users_without_purchase,
