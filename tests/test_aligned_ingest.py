@@ -36,10 +36,13 @@ def stream(tmp_path_factory):
     return d
 
 
-def _bucketized(spark, stream, epoch, warehouse_tag):
+def _bucketized(spark, stream, epoch, run_tag):
     """Producer side: the epoch as a bucketed table (the clustering the
-    producer pays once, instead of the consumer per apply)."""
-    name = f"aligned_{warehouse_tag}_e{epoch}"
+    producer pays once, instead of the consumer per apply). The name is
+    unique per test run: a managed table's warehouse LOCATION outlives
+    the in-memory catalog across pytest sessions, so a fixed name hits
+    LOCATION_ALREADY_EXISTS on the second run."""
+    name = f"aligned_{run_tag}_e{epoch}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         spark.read.parquet(os.path.join(stream, f"epoch={epoch}"))
@@ -51,9 +54,14 @@ def _bucketized(spark, stream, epoch, warehouse_tag):
 
 
 def test_aligned_apply_is_exchange_free_and_correct(spark, stream, tmpdir_):
+    import uuid
+
+    run_tag = uuid.uuid4().hex[:8]
     eng = CDCEngine(spark, os.path.join(tmpdir_, "t"), n_buckets=N_BUCKETS, mode="mor")
+    made = []
     for k in list_epochs(stream):
-        ev = _bucketized(spark, stream, k, "ok")
+        ev = _bucketized(spark, stream, k, run_tag)
+        made.append(f"aligned_{run_tag}_e{k}")
 
         # (1) the reduce over the bucketed scan plans no exchange
         plan = reduce_batch(ev)._jdf.queryExecution().executedPlan().toString()
@@ -79,6 +87,8 @@ def test_aligned_apply_is_exchange_free_and_correct(spark, stream, tmpdir_):
     )
     exp = oracle_final(stream).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for name in made:  # dropping a managed table removes its location
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_misaligned_input_still_correct(spark, stream, tmpdir_):
