@@ -47,6 +47,13 @@ def parse_change_envelope(
     after the caller routes them to quarantine). Kafka's own
     ``partition``/``offset`` ride along as ``_src_partition`` /
     ``_src_offset`` — the transport lineage the metrics layer records.
+
+    ``drop_corrupt=True`` returns EXACTLY the envelope schema's columns
+    (no ``_``-prefixed audit/lineage columns): the apply path treats
+    unknown payload columns as additive schema evolution, so leaking
+    ``_src_partition`` into ``apply_epoch`` would silently evolve the
+    table with transport bookkeeping. Audit + lineage live only on the
+    default (flagged) form.
     """
     required = [f.name for f in schema.fields if not f.nullable]
     parsed = raw.select(
@@ -70,8 +77,8 @@ def parse_change_envelope(
         "_src_offset",
     )
     if drop_corrupt:
-        out = out.filter(~F.col("_corrupt")).drop(
-            "_corrupt", "_raw_value"
+        out = out.filter(~F.col("_corrupt")).select(
+            *[f.name for f in schema.fields]
         )
     return out
 

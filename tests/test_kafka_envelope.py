@@ -76,10 +76,13 @@ def test_corrupt_values_flagged_never_dropped(spark):
     assert len(corrupt) == 2
     # the raw value is retained for quarantine/audit
     assert any("not json" in (r._raw_value or "") for r in corrupt)
-    # and the drop_corrupt form yields exactly the good rows
+    # and the drop_corrupt form yields exactly the good rows with
+    # exactly the envelope columns — no _-prefixed audit/lineage cols
+    # that would pollute the table via additive schema evolution
     good = parse_change_envelope(raw, drop_corrupt=True)
     assert [r.conv_id for r in good.collect()] == ["c1"]
-    assert "_corrupt" not in good.columns
+    from crba_etl_spark.schema import CHANGE_EVENT
+    assert good.columns == [f.name for f in CHANGE_EVENT.fields]
 
 
 def test_missing_connector_fails_actionably(spark):
