@@ -18,12 +18,20 @@ TOKEN_RE = "[A-Za-z0-9]+"
 STOPWORD_RE = r"\b(the|a|an|of|to|and|in|is|it)\b"
 #: deterministic per-language marker lists for the n-gram/stopword
 #: language-ID heuristic (real systems use char-trigram profiles; the
-#: scoring plumbing is identical)
+#: scoring plumbing — per-class feature counts → deterministic argmax —
+#: is identical). ASCII-only markers so Java-regex (Spark) and RE2
+#: (DuckDB) agree on every \b boundary; the SQL oracle is GENERATED
+#: from this dict (queries._sql_lang_id), so adding a language here
+#: updates engine and oracle together.
 LANG_MARKERS = {
-    "en": r"\b(the|and|of|is)\b",
-    "de": r"\b(der|die|das|und)\b",
-    "fr": r"\b(le|la|les|et)\b",
-    "es": r"\b(el|los|las|y)\b",
+    "en": r"\b(the|and|of|is|that|with)\b",
+    "de": r"\b(der|die|das|und|nicht|ein)\b",
+    "fr": r"\b(le|la|les|et|est|dans)\b",
+    "es": r"\b(el|los|las|y|una|pero)\b",
+    "pt": r"\b(os|uma|com|para|mais)\b",
+    "it": r"\b(il|gli|che|non|per|sono)\b",
+    "nl": r"\b(het|een|van|niet|ook|zijn)\b",
+    "pl": r"\b(nie|jest|ale|czy|tak)\b",
 }
 
 

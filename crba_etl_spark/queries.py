@@ -1130,25 +1130,45 @@ def q_lang_id(spark, sf_dir):
     return text_analysis.lang_id(load(spark, sf_dir, "documents"))
 
 
-SQL_LANG_ID = r"""
+def _sql_lang_id() -> str:
+    """Generated from the SAME marker table the Spark operator uses
+    (text_analysis.LANG_MARKERS) so engine and oracle cannot drift: one
+    hit-count per language, then a first-declared-wins argmax CASE
+    (each branch compares only against LATER languages — identical to
+    the operator's reverse-fold tie-break). DuckDB standard strings
+    pass the \\b regex boundaries through literally."""
+    from .operators.text_analysis import LANG_MARKERS
+
+    hit_exprs = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '{rx}')) AS hits_{lang}"
+        for lang, rx in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    branches = "\n         ".join(
+        "WHEN "
+        + " AND ".join(
+            [f"hits_{lang} >= hits_{later}" for later in langs[i + 1:]]
+            + [f"hits_{lang} > 0"]
+        )
+        + f" THEN '{lang}'"
+        for i, lang in enumerate(langs)
+    )
+    return f"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS hits_en,
-         len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS hits_de,
-         len(regexp_extract_all(lower(text), '\b(le|la|les|et)\b')) AS hits_fr,
-         len(regexp_extract_all(lower(text), '\b(el|los|las|y)\b')) AS hits_es
+         {hit_exprs}
   FROM documents
 )
 SELECT doc_id,
        CASE
-         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
-         WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
-         WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
-         WHEN hits_es > 0 THEN 'es'
+         {branches}
          ELSE 'und'
        END AS lang_pred
 FROM t
 """
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_fingerprint(spark, sf_dir):
