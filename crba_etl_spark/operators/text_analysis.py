@@ -51,18 +51,31 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality: length band + stopword ratio + punct ratio →
-    score in [0,1]. (doc_id, n_tokens, stopword_ratio, punct_ratio, quality)."""
+    """Heuristic quality (Gopher-rule subset): length band + stopword
+    ratio + punctuation ratio, MINUS a repetition penalty (fraction of
+    duplicate lines — the classic within-document boilerplate signal) →
+    score in [0,1]. (doc_id, n_tokens, stopword_ratio, punct_ratio,
+    dup_line_ratio, quality). The SQL oracle replays every formula
+    exactly (queries.SQL_QUALITY_SCORE shares terms via
+    queries._sql_quality_terms)."""
     n_tok = F.regexp_count(F.col(text_col), F.lit(TOKEN_RE))
     n_stop = F.regexp_count(F.lower(text_col), F.lit(STOPWORD_RE))
     n_punct = F.regexp_count(F.col(text_col), F.lit(r"[.,!?;:]"))
+    lines = F.split(F.col(text_col), "\n")
     stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
     punct_ratio = F.round(n_punct / F.greatest(F.length(text_col), F.lit(1)), 6)
+    dup_ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
+    )
     len_ok = (n_tok >= 10) & (n_tok <= 1000)
     quality = F.round(
-        (len_ok.cast("double") * 0.5)
-        + F.least(stop_ratio * F.lit(2.0), F.lit(0.3))
-        + F.least(punct_ratio * F.lit(5.0), F.lit(0.2)),
+        F.greatest(
+            (len_ok.cast("double") * 0.5)
+            + F.least(stop_ratio * F.lit(2.0), F.lit(0.3))
+            + F.least(punct_ratio * F.lit(5.0), F.lit(0.2))
+            - F.least(dup_ratio, F.lit(0.3)),
+            F.lit(0.0),
+        ),
         6,
     )
     return docs.select(
@@ -70,6 +83,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_tok.cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
+        dup_ratio.alias("dup_line_ratio"),
         quality.alias("quality"),
     )
 

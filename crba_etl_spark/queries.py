@@ -1107,21 +1107,32 @@ def q_quality_score(spark, sf_dir):
     return text_analysis.quality_score(load(spark, sf_dir, "documents"))
 
 
-SQL_QUALITY_SCORE = r"""
-WITH t AS (
-  SELECT doc_id,
+_SQL_QUALITY_T_CTE = r"""
+  SELECT doc_id, text,
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
          len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it)\b')) AS n_stop,
          len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-         length(text) AS n_chars
+         length(text) AS n_chars,
+         round(1.0 - len(list_distinct(string_split(text, chr(10))))
+                     / len(string_split(text, chr(10))), 6) AS dup_line_ratio
   FROM documents
-)
+"""
+
+#: the quality formula over the t-CTE columns — ONE definition shared by
+#: the quality oracle and the curation oracle so they cannot drift
+_SQL_QUALITY_EXPR = """round(greatest(
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.5
+           + least(round(n_stop / greatest(n_tokens, 1), 6) * 2.0, 0.3)
+           + least(round(n_punct / greatest(n_chars, 1), 6) * 5.0, 0.2)
+           - least(dup_line_ratio, 0.3), 0.0), 6)"""
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS ({_SQL_QUALITY_T_CTE})
 SELECT doc_id, n_tokens,
        round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
        round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-       round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.5
-             + least(round(n_stop / greatest(n_tokens, 1), 6) * 2.0, 0.3)
-             + least(round(n_punct / greatest(n_chars, 1), 6) * 5.0, 0.2), 6) AS quality
+       dup_line_ratio,
+       {_SQL_QUALITY_EXPR} AS quality
 FROM t
 """
 
@@ -1203,21 +1214,13 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 def _sql_curation_pipeline():
-    # reuse the quality CTE from SQL_QUALITY_SCORE (identical formulas)
-    return r"""
-WITH t AS (
-  SELECT doc_id, text,
-         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
-         len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it)\b')) AS n_stop,
-         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-         length(text) AS n_chars
-  FROM documents
-),
+    # the quality CTE + formula are the SAME strings the quality oracle
+    # uses (_SQL_QUALITY_T_CTE / _SQL_QUALITY_EXPR) — no drift possible
+    return f"""
+WITH t AS ({_SQL_QUALITY_T_CTE}),
 scored AS (
   SELECT doc_id, text, n_tokens,
-         round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.5
-               + least(round(n_stop / greatest(n_tokens, 1), 6) * 2.0, 0.3)
-               + least(round(n_punct / greatest(n_chars, 1), 6) * 5.0, 0.2), 6) AS quality
+         {_SQL_QUALITY_EXPR} AS quality
   FROM t
 ),
 kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 5),

@@ -185,3 +185,22 @@ def test_lang_id_classifies_each_marker_language(spark):
     )
     got = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
     assert got == {lang: lang for lang in sentences}
+
+
+def test_quality_repetition_penalty(spark):
+    """Duplicate-line boilerplate lowers quality; the ratio itself is
+    exact: 4 lines with 2 distinct -> dup_line_ratio 0.5 (penalty
+    capped at 0.3)."""
+    from crba_etl_spark.operators.text_analysis import quality_score
+
+    body = "the cat is on the mat and it is a good day to be here now."
+    clean = " ".join([body] * 1)
+    spammy = "\n".join([body, body, "buy now!", "buy now!"])
+    docs = spark.createDataFrame(
+        [("clean", clean), ("spam", spammy)], "doc_id string, text string"
+    )
+    got = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert got["clean"].dup_line_ratio == 0.0
+    assert got["spam"].dup_line_ratio == 0.5
+    # same text content otherwise -> the penalty strictly lowers quality
+    assert got["spam"].quality < got["clean"].quality
