@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--drop-tombstones", action="store_true")
 
+    p = sub.add_parser("rebucket")
+    common(p)
+    p.add_argument("--to-buckets", type=int, required=True)
+
     p = sub.add_parser("check")
     p.add_argument("--html", help="also render the report as a data-docs HTML page")
     common(p)
@@ -108,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         engine.compact(drop_tombstones=args.drop_tombstones)
         print(json.dumps({"version": engine.table.snapshot()["version"]}))
+    elif args.cmd == "rebucket":
+        snap = engine.table.rebucket(spark, args.to_buckets)
+        print(json.dumps({"version": snap["version"], "n_buckets": snap["n_buckets"]}))
     elif args.cmd == "check":
         from .checks import run_checks, write_report_html
 

@@ -567,6 +567,56 @@ class IceliteTable:
 
     # --- maintenance ---------------------------------------------------------
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Bucket-count evolution (the bucket-transform case of Iceberg
+        partition-spec evolution): rewrite the WHOLE table under a new
+        bucket count in one snapshot-atomic commit — the operational
+        move when a table outgrows its bucket count (bucket count caps
+        apply parallelism and file sizes; 32 is right at test scale,
+        thousands at 100 TB). Resolution state is preserved exactly:
+        max-LSN rows INCLUDING tombstones survive, MOR deltas fold in
+        (a rebucket is also a full compaction), and epoch/slice markers
+        carry over so redelivery semantics are unchanged. Unlike
+        Iceberg's lazy spec evolution (old files keep the old spec),
+        this is an eager full rewrite — O(table), so schedule it like a
+        major compaction; the payoff is that every reader/writer then
+        sees ONE bucket function, which the single-exchange apply path
+        depends on. A concurrent commit surfaces as CommitConflict to
+        the caller (re-read, re-run) — the compact contract.
+
+        Lazy-quarantine note: rebucket folds deltas WITHOUT the stale-
+        row audit pass — run ``compact(quarantine_dir=...)`` first when
+        lazy quarantine is in use, or pending stale events fold in
+        unaudited (final state is identical either way)."""
+        snap = self.snapshot()
+        key = self.key_cols()[0]
+        df = self.read_resolved(spark).withColumn(
+            BUCKET_COL, bucket_expr(new_n_buckets, key)
+        )
+        version = snap["version"] + 1
+        # cluster by the NEW bucket function ourselves (write_merged's
+        # own repartition would use the OLD count) → one file per bucket
+        new_files = self.write_merged(
+            df.repartition(new_n_buckets, F.col(key)),
+            epoch=-2,
+            version=version,
+            repartition=False,
+        )
+        self._write_snapshot(
+            version=version,
+            schema=self.schema(),
+            files={b: new_files.get(b, []) for b in sorted(new_files)},
+            committed_epochs=set(snap["committed_epochs"]),
+            parent=snap["version"],
+            stats={"rebucket": True, "from": snap.get("n_buckets"), "to": new_n_buckets},
+            n_buckets=new_n_buckets,
+            deltas={},
+            slices=snap.get("slices", []),
+            epoch_files=snap.get("epoch_files", {}),
+            expected_current=f"snapshot-{snap['version']:06d}.json",
+        )
+        return self.snapshot()
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg-style snapshot expiry: delete snapshot manifests older
         than the newest ``keep_last`` and any data directory no longer
