@@ -381,7 +381,10 @@ def _write_baseline_md(out: dict) -> None:
         with open("BENCH/BASELINE.md") as f:
             old = f.read()
         if "## Measurement history" in old:
-            history = old.split("## Measurement history", 1)[1].strip("\n")
+            tail_sec = old.split("## Measurement history", 1)[1]
+            history = "\n".join(
+                l for l in tail_sec.splitlines() if l.startswith("- ")
+            )
     except FileNotFoundError:
         pass
     entry = (
