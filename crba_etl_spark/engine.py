@@ -136,6 +136,17 @@ class CDCEngine:
         penalty is extra files per bucket — never wrong rows."""
         if slice_marker is not None:
             if slice_marker in self.table.committed_slices():
+                if mark_epoch and epoch not in self.table.committed_epochs():
+                    # a retried slice can be the FIRST to know the epoch
+                    # is complete (late _DONE marker): the data skip must
+                    # still land the exactly-once epoch marker, or it is
+                    # permanently missed (round-3 ADVICE)
+                    self.table.mark_epoch_committed(epoch)
+                    return {
+                        "epoch": epoch,
+                        "skipped": True,
+                        "reason": "slice committed; epoch marker promoted",
+                    }
                 return {"epoch": epoch, "skipped": True, "reason": "slice committed"}
         elif epoch in self.table.committed_epochs():
             return {"epoch": epoch, "skipped": True, "reason": "already committed"}

@@ -426,6 +426,52 @@ class IceliteTable:
             return slice_marker in set(snap.get("slices", []))
         return epoch in set(snap["committed_epochs"])
 
+    @staticmethod
+    def _union_with_current(snap: dict, schema: T.StructType) -> T.StructType:
+        """Widen the committing writer's schema with whatever the LIVE
+        snapshot carries. A concurrent commit may have evolved the table
+        schema while this writer's batch was in flight; for COW commits
+        that touched disjoint buckets (base validation passes) and for
+        all MOR delta commits (no base validation), blindly writing the
+        writer's own evolved schema would shrink the manifest schema and
+        hide the concurrently added column from reads — old files
+        project missing columns as null against the manifest schema, so
+        the union is always safe (additive evolution only)."""
+        from .operators.evolve import merge_schemas
+
+        return merge_schemas(T.StructType.fromJson(snap["schema"]), schema)
+
+    def mark_epoch_committed(self, epoch: int) -> dict:
+        """Metadata-only commit: promote ``epoch`` into
+        ``committed_epochs`` (and drop its partial-slice bookkeeping)
+        without touching any data files. Used when epoch completeness is
+        learned only AFTER the epoch's last slice was applied — e.g. the
+        producer's ``_DONE`` marker landed late, or a retried micro-batch
+        skipped via its slice marker once completeness became known."""
+        for _attempt in range(8):
+            snap = self.snapshot()
+            if epoch in set(snap["committed_epochs"]):
+                return snap
+            efiles = {k: list(v) for k, v in snap.get("epoch_files", {}).items()}
+            efiles.pop(str(epoch), None)
+            try:
+                self._write_snapshot(
+                    version=snap["version"] + 1,
+                    schema=T.StructType.fromJson(snap["schema"]),
+                    files={int(k): v for k, v in snap["files"].items()},
+                    committed_epochs=set(snap["committed_epochs"]) | {epoch},
+                    parent=snap["version"],
+                    stats={"epoch_marker_promoted": epoch},
+                    deltas={int(k): v for k, v in snap.get("deltas", {}).items()},
+                    slices=snap.get("slices", []),
+                    epoch_files=efiles,
+                    expected_current=f"snapshot-{snap['version']:06d}.json",
+                )
+            except CommitConflict:
+                continue
+            return self.snapshot()
+        raise CommitConflict(f"epoch {epoch}: marker promotion lost 8 CAS races")
+
     def commit(
         self,
         epoch: int,
@@ -488,7 +534,7 @@ class IceliteTable:
             try:
                 self._write_snapshot(
                     version=version,
-                    schema=schema,
+                    schema=self._union_with_current(snap, schema),
                     files=files,
                     committed_epochs=epochs,
                     parent=snap["version"],
@@ -550,7 +596,7 @@ class IceliteTable:
             try:
                 self._write_snapshot(
                     version=snap["version"] + 1,
-                    schema=schema,
+                    schema=self._union_with_current(snap, schema),
                     files={int(k): v for k, v in snap["files"].items()},
                     committed_epochs=epochs,
                     parent=snap["version"],

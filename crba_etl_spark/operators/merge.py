@@ -47,6 +47,35 @@ def batch_payload_schema(batch: DataFrame) -> T.StructType:
     )
 
 
+def _skip_stats(
+    table: IceliteTable,
+    snap: dict,
+    epoch: int,
+    slice_marker: str | None,
+    mark_epoch: bool,
+) -> dict:
+    """Stats for a skipped (already-committed) apply. If this was a
+    retried SLICE whose epoch has since been learned complete
+    (``mark_epoch=True`` — e.g. the producer's ``_DONE`` marker appeared
+    only after the slice was first applied), the skip must still promote
+    the epoch into ``committed_epochs`` with a metadata-only commit, or
+    the exactly-once epoch marker would be permanently missed (the data
+    is state-idempotent either way, but a later full replay would re-run
+    the whole epoch)."""
+    if (
+        slice_marker is not None
+        and mark_epoch
+        and epoch not in set(snap["committed_epochs"])
+    ):
+        table.mark_epoch_committed(epoch)
+        return {
+            "epoch": epoch,
+            "skipped": True,
+            "reason": "slice already committed; epoch marker promoted",
+        }
+    return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+
+
 def merge_epoch(
     spark: SparkSession,
     table: IceliteTable,
@@ -74,31 +103,42 @@ def merge_epoch(
     concurrent commit's rows are never silently dropped."""
     snap = table.snapshot()
     if IceliteTable._already_committed(snap, epoch, slice_marker):
-        return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+        return _skip_stats(table, snap, epoch, slice_marker, mark_epoch)
 
     t0 = time.monotonic()
     n_buckets = table.n_buckets()
     key_cols = table.key_cols()  # honor custom keys persisted in the snapshot
 
-    # --- schema evolution: additive merge, batch aligned to evolved ----
-    evolved = merge_schemas(table.schema(), batch_payload_schema(reduced))
-    payload_cols = [f.name for f in evolved.fields if f.name not in key_cols]
-    batch = align_to(
-        reduced,
-        T.StructType(
-            list(evolved.fields)
-            + [f for f in reduced.schema.fields if f.name in ("op", "lsn")]
-        ),
-    ).withColumn(BUCKET_COL, bucket_expr(n_buckets, key_cols[0]))
-    batch = batch.persist()
+    # the batch's own rows and bucket assignment never change across
+    # retries — persist them once; the EVOLVED schema is re-derived per
+    # attempt from the pinned base snapshot (below), because a concurrent
+    # commit may have widened the table schema while our attempt raced
+    raw = reduced.withColumn(BUCKET_COL, bucket_expr(n_buckets, key_cols[0]))
+    raw = raw.persist()
 
     # --- partition pruning: only buckets the batch touches -------------
     affected = {
-        r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+        r[0] for r in raw.select(BUCKET_COL).distinct().collect()
     }
 
     try:
         for _attempt in range(8):
+            # --- schema evolution: additive merge from the CURRENT base
+            # snapshot's schema (not the one captured before the loop) —
+            # a retry after CommitConflict must pick up columns a
+            # concurrent writer added, or the COW rewrite would project
+            # them away from the affected buckets' files
+            evolved = merge_schemas(
+                T.StructType.fromJson(snap["schema"]), batch_payload_schema(reduced)
+            )
+            payload_cols = [f.name for f in evolved.fields if f.name not in key_cols]
+            batch = align_to(
+                raw,
+                T.StructType(
+                    list(evolved.fields)
+                    + [f for f in reduced.schema.fields if f.name in ("op", "lsn")]
+                ),
+            )
             try:
                 return _merge_attempt(
                     spark, table, batch, snap, epoch, affected, evolved,
@@ -111,10 +151,10 @@ def merge_epoch(
                 # re-merge from the fresh snapshot
                 snap = table.snapshot()
                 if IceliteTable._already_committed(snap, epoch, slice_marker):
-                    return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+                    return _skip_stats(table, snap, epoch, slice_marker, mark_epoch)
         raise CommitConflict(f"epoch {epoch}: merge lost 8 re-merge races")
     finally:
-        batch.unpersist()
+        raw.unpersist()
 
 
 def _merge_attempt(
@@ -256,7 +296,7 @@ def apply_delta_epoch(
     """
     snap = table.snapshot()
     if IceliteTable._already_committed(snap, epoch, slice_marker):
-        return {"epoch": epoch, "skipped": True, "reason": "already committed"}
+        return _skip_stats(table, snap, epoch, slice_marker, mark_epoch)
 
     t0 = time.monotonic()
     n_buckets = table.n_buckets()

@@ -17,6 +17,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..cache import persist_tracked
+
 #: random-hyperplane LSH parameters (sign-bit signatures); shared with
 #: the SQL oracle through :func:`hyperplane` literals
 N_PLANES = 16
@@ -220,9 +222,13 @@ def lsh_params(
       operator claims (cos >= 0.9 → p = 1 - arccos(0.9)/pi = 0.857),
       bands are the fewest b with 1-(1-p^bits)^b >= target_recall.
 
-    At n = 10^9 this yields 30-bit bands (store each band value in a
-    long) and ~40 bands — wide signatures, still one fixed-width row per
-    vector and equi-join candidate generation."""
+    At n = 10^9 the pure rule yields 30-bit bands (store each band value
+    in a long) and ~306 bands (p_band = 0.857^30 ≈ 0.0098, so many bands
+    are needed to recover recall). When the band count dominates cost,
+    CAP the bits below log2(n) and accept more bucket fan-out: 20-bit
+    bands (p_band ≈ 0.046, ~n/10^6 vectors per bucket) need only ~65
+    bands for the same recall — still fixed-width rows and equi-join
+    candidate generation either way."""
     import math
 
     bits = max(4, math.ceil(math.log2(max(n, 2))))
@@ -286,12 +292,15 @@ def embedding_lsh_candidates(
     in tests and reported in COVERAGE.md.
     Output: (id_a < id_b, n_shared_bands).
 
-    The band relation is MATERIALIZED (persist) before the self-join so
-    the plane dot products run once, not once per join side (see
+    The band relation is MATERIALIZED (tracked persist — freed by
+    ``cache.release_caches``) before the self-join so the plane dot
+    products run once, not once per join side (see
     minhash_lsh_candidates for the full rationale)."""
-    bands = hyperplane_bands(
-        emb, dim, id_col, vec_col, n_bands=n_bands, bits_per_band=bits_per_band
-    ).persist()
+    bands = persist_tracked(
+        hyperplane_bands(
+            emb, dim, id_col, vec_col, n_bands=n_bands, bits_per_band=bits_per_band
+        )
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, on=["band_idx", "band_val"])

@@ -641,6 +641,91 @@ def q_distinct_users_approx(spark, sf_dir):
     )
 
 
+def q_order_price_quantiles_sketch_check(spark, sf_dir):
+    """Oracle-checkable sketch harness (round-3 VERDICT #3): ONE pass
+    computes both the Greenwald-Khanna approx percentiles (the 100 TB
+    form — see :func:`q_order_price_quantiles_approx` for the pure
+    twin) and the exact percentiles, and emits per group the EXACT
+    values plus ``sketch_violations`` = how many of the three quantiles
+    the sketch missed by more than 1e-3 relative error. DuckDB
+    reproduces the exact side and pins violations at 0, so the
+    accuracy bound itself is now a rows+schema+hash-checked contract
+    instead of a pytest-only assertion: any sketch drift beyond the
+    bound breaks the hash."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {p})").alias(f"e{t}")
+            for p, t in ((0.5, 50), (0.9, 90), (0.99, 99))
+        ],
+        *[
+            F.expr(f"approx_percentile(o_totalprice, {p}, 10000)").alias(f"a{t}")
+            for p, t in ((0.5, 50), (0.9, 90), (0.99, 99))
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    viol = sum(
+        (F.abs(F.col(f"a{t}") - F.col(f"e{t}")) / F.abs(F.col(f"e{t}")) > 1e-3)
+        .cast("int")
+        for t in (50, 90, 99)
+    )
+    return g.select(
+        "o_orderpriority",
+        F.round("e50", 4).alias("p50"),
+        F.round("e90", 4).alias("p90"),
+        F.round("e99", 4).alias("p99"),
+        "n",
+        viol.alias("sketch_violations"),
+    )
+
+
+SQL_ORDER_PRICE_QUANTILES_SKETCH_CHECK = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n,
+       CAST(0 AS INT) AS sketch_violations
+FROM orders GROUP BY 1
+"""
+
+
+def q_distinct_users_sketch_check(spark, sf_dir):
+    """Oracle-checkable HLL++ harness (round-3 VERDICT #3): computes the
+    rsd=1% approximate distinct count alongside the exact one, emits the
+    exact count plus a 5%-relative-error violation flag per group; the
+    DuckDB oracle pins violations at 0. (The pure sketch-only twin —
+    the form actually run at 100 TB, where exact count_distinct's
+    expanded shuffle is the thing being avoided — is
+    :func:`q_distinct_users_approx`; this harness is its standing
+    cross-engine accuracy gate.)"""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("a") - F.col("exact_users")) / F.col("exact_users") > 0.05
+        )
+        .cast("int")
+        .alias("sketch_violations"),
+    )
+
+
+SQL_DISTINCT_USERS_SKETCH_CHECK = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       CAST(0 AS INT) AS sketch_violations
+FROM events GROUP BY 1
+"""
+
+
 def q_universe_fill(spark, sf_dir):
     """JOIN-UNIVERSE + FILL (§2.3, §2.8): every nation appears even with
     zero customers — the reference's right-join to the country universe
@@ -1462,6 +1547,58 @@ FROM documents
 """
 
 
+#: shard fan-out of the production packing path; at 100 TB size this so
+#: each shard's documents fit one task's sort (e.g. corpus_bytes/256MB)
+N_PACK_SHARDS = 8
+
+
+def q_pack_sharded(spark, sf_dir):
+    """Context-window packing, the PRODUCTION shape (round-3 VERDICT
+    #2): shard by a deterministic md5 bucket of doc_id, pack within each
+    shard via ``Window.partitionBy(shard).orderBy(doc_id)`` — the sort
+    is per-shard, so no task ever sees the whole corpus (the global
+    single-sort form above is this query's per-shard oracle: with
+    N_PACK_SHARDS=1 the two are identical). Bins are (shard, pack_bin)
+    pairs; a trainer consumes shards independently, which is exactly how
+    packed corpora are sharded for data-parallel loading anyway. The
+    shard hash is content-stable (md5, never rand()/spark_partition_id)
+    so re-runs and engines agree on every assignment."""
+    docs = load(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(N_PACK_SHARDS),
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(F.length("text")).over(w), F.lit(0))
+    return docs.withColumn("shard", shard).select(
+        "doc_id",
+        "shard",
+        F.length("text").alias("doc_len"),
+        F.floor(prefix / 4096).cast("int").alias("pack_bin"),
+    )
+
+
+SQL_PACK_SHARDED = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           % {N_PACK_SHARDS})::INT AS shard
+  FROM documents
+)
+SELECT doc_id, shard, length(text) AS doc_len,
+       CAST(floor(coalesce(sum(length(text)) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 4096) AS INT) AS pack_bin
+FROM s
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: up to 3 documents per
     language stratum, ranked by an md5 hash of the doc id (ties by
@@ -1614,13 +1751,23 @@ def registry() -> dict[str, tuple]:
         "minmax_scale_orders": (q_minmax_scale_orders, SQL_MINMAX_SCALE_ORDERS),
         "scale_inverted_log": (q_scale_inverted_log, SQL_SCALE_INVERTED_LOG),
         "order_price_quantiles": (q_order_price_quantiles, SQL_ORDER_PRICE_QUANTILES),
-        # sketch forms: deliberately NO SQL oracle (engine-specific
-        # internals); accuracy vs the exact twins is pytest-asserted
-        "order_price_quantiles_approx": (q_order_price_quantiles_approx, None),
-        "distinct_users_approx": (q_distinct_users_approx, None),
+        # sketch rows, now ORACLE-CHECKABLE (round-3 VERDICT #3): the
+        # registry runs the bound-check harness — exact values + a
+        # violations counter the oracle pins at 0 — so sketch accuracy
+        # is a hash-checked contract; the PURE sketch twins (the actual
+        # 100 TB forms) remain exported and pytest-asserted
+        "order_price_quantiles_approx": (
+            q_order_price_quantiles_sketch_check,
+            SQL_ORDER_PRICE_QUANTILES_SKETCH_CHECK,
+        ),
+        "distinct_users_approx": (
+            q_distinct_users_sketch_check,
+            SQL_DISTINCT_USERS_SKETCH_CHECK,
+        ),
         "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
         "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
         "pack_contiguous": (q_pack_contiguous, SQL_PACK_CONTIGUOUS),
+        "pack_sharded": (q_pack_sharded, SQL_PACK_SHARDED),
         "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
         "universe_fill": (q_universe_fill, SQL_UNIVERSE_FILL),
         "users_without_purchase": (

@@ -131,6 +131,18 @@ def stream_apply(
                 slice_files=sorted(files_in_batch[k]),
             )
 
+        # late-_DONE sweep: an epoch whose LAST slice was applied before
+        # the producer declared completeness never re-enters the loop
+        # above (the file source does not re-read processed files, so no
+        # future batch carries its rows) — its entry lingers in
+        # ``epoch_files`` forever and the exactly-once marker is missed.
+        # Re-check every still-open epoch's declaration here and promote
+        # with a metadata-only commit once the applied union covers it.
+        for k_str, applied in engine.table.epoch_files().items():
+            declared = _declared_files(int(k_str))
+            if declared is not None and set(applied) >= declared:
+                engine.table.mark_epoch_committed(int(k_str))
+
     writer = (
         tail.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)

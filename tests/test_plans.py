@@ -104,8 +104,24 @@ def test_plan_invariants_and_regenerate_plans_md(spark):
     # the exact all-pairs cosine baseline is the ONLY registry query
     # allowed a data×data nested-loop join (it is the recall oracle; the
     # *_exact_baseline / *_exact names are the warning label)
+    # ... and no UNPARTITIONED ORDERED window (single-task sort of the
+    # whole input — the round-3 VERDICT pack_contiguous scale-killer)
+    # outside labeled oracle shapes. In `windowspecdefinition(part...,
+    # order..., frame)` the partition columns come first; if the FIRST
+    # argument already carries a sort direction, there is no partition
+    # spec and the whole relation funnels through one task's sort.
+    unpartitioned_win = re.compile(
+        r"windowspecdefinition\([^,()]*(?:ASC|DESC) NULLS"
+    )
+    GLOBAL_WINDOW_OK = {
+        "pack_contiguous",  # the per-shard oracle of pack_sharded
+    }
     for qname, (qfn, _sql) in Q.registry().items():
         p = plan_of(qfn(spark, SF))
+        if unpartitioned_win.search(p):
+            assert qname in GLOBAL_WINDOW_OK, (
+                f"{qname}: unpartitioned global window"
+            )
         if qname == "cosine_near_dup_exact":
             assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p
             continue
