@@ -108,6 +108,40 @@ def warmup_stream_dir() -> str:
     )
 
 
+def _burn() -> float:
+    """One fixed single-thread CPU burn (~0.1-0.3s quiet). Pure Python
+    integer loop: immune to caches/IO, so its time moves only with CPU
+    availability (steal, frequency, contention) — the canary for this
+    host's documented 30-60s noise waves."""
+    t0 = time.perf_counter()
+    x = 0x9E3779B9
+    for _ in range(2_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def host_noise_ratio(samples: int = 3) -> float:
+    """Host-contention probe (round-3 VERDICT #1): best-of-K burn time
+    vs the all-time best recorded on this host (state in /tmp, so the
+    baseline only sharpens over time). ~1.0 = quiet window; >~1.3 = a
+    noise wave — the bench waits/retries rather than recording an
+    artifact the engine can't be blamed for."""
+    path = os.path.join(tempfile.gettempdir(), "crba_noise_baseline.json")
+    t = min(_burn() for _ in range(samples))
+    best = t
+    try:
+        with open(path) as f:
+            best = min(best, float(json.load(f)["best_s"]))
+    except Exception:
+        pass
+    try:
+        with open(path, "w") as f:
+            json.dump({"best_s": best}, f)
+    except Exception:
+        pass
+    return round(t / best, 3)
+
+
 def warm_until_plateau(
     spark, base: str, tag: str, max_iters: int = 8, plateau_ratio: float = 1.2
 ) -> list[float]:
@@ -132,6 +166,81 @@ def warm_until_plateau(
         if len(rates) >= 2 and rates[-1] < plateau_ratio * rates[-2]:
             break
     return rates
+
+
+#: aligned-vs-repartition comparison workload (round-3 VERDICT #8):
+#: smaller than the headline stream — the point is the RATIO between the
+#: two apply paths on identical data, not another sustained-rate record
+ALIGNED_EVENTS = int(os.environ.get("BENCH_ALIGNED_EVENTS", "6000000"))
+ALIGNED_EPOCHS = 3
+
+
+def aligned_stream_dir() -> str:
+    return _gen_stream(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"crba_bench_aligned_v4_{ALIGNED_EVENTS}_{TEXT_PAD}",
+        ),
+        ALIGNED_EVENTS,
+        ALIGNED_EPOCHS,
+        None,
+    )
+
+
+def aligned_compare(spark, base: str) -> dict:
+    """Wall-clock the exchange-free source-aligned apply against the
+    default repartition apply on the SAME stream (round-3 VERDICT #8 —
+    EPOCH_PROFILE measured the stages; this records the end-to-end
+    ratio in the bench artifact). The producer-side clustering (a
+    bucketed staging table — the batch analog of a keyed Kafka topic
+    with partitions = buckets) is built UNTIMED: producers pay it once,
+    which is the whole point of the aligned path."""
+    import shutil as _sh
+    import uuid
+
+    from crba_etl_spark.engine import CDCEngine, list_epochs
+
+    d = aligned_stream_dir()
+    epochs = list_epochs(d)
+    tag = uuid.uuid4().hex[:8]
+    tables = {}
+    for k in epochs:
+        name = f"bench_aligned_{tag}_e{k}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            spark.read.parquet(os.path.join(d, f"epoch={k}"))
+            .write.bucketBy(32, "conv_id")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        tables[k] = name
+    out: dict[str, float] = {}
+    try:
+        for mode_name, aligned in (("repartition", False), ("aligned", True)):
+            root = os.path.join(base, f"crba_bench_alcmp_{mode_name}")
+            _sh.rmtree(root, ignore_errors=True)
+            eng = CDCEngine(spark, root, n_buckets=32, mode="mor")
+            t0 = time.monotonic()
+            n = 0
+            for k in epochs:
+                ev = (
+                    spark.table(tables[k])
+                    if aligned
+                    else spark.read.parquet(os.path.join(d, f"epoch={k}"))
+                )
+                st = eng.apply_epoch(ev, k, source_aligned=aligned)
+                n += st["events_in"]
+            out[f"cdc_{mode_name}_events_per_sec"] = round(
+                n / (time.monotonic() - t0), 1
+            )
+            _sh.rmtree(root, ignore_errors=True)
+    finally:
+        for name in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    out["aligned_speedup"] = round(
+        out["cdc_aligned_events_per_sec"] / out["cdc_repartition_events_per_sec"], 3
+    )
+    return out
 
 
 def run_replay(spark, table_root: str) -> dict:
@@ -234,48 +343,99 @@ def full_bench() -> None:
 
     warm_rates = warm_until_plateau(spark, base, "full")
 
-    # TWO full replays: the sustained-rate median then draws on 12 epoch
-    # samples instead of 6 — this host's 30-60s stall waves can depress
-    # most of one replay (observed: neighboring epochs in one run at
-    # 89k and 1.16M ev/s), and a single run's median still carries the
-    # wave; cdc_replay_apply reports the total wall for both
+    # TWO full replays per attempt: the sustained-rate median then draws
+    # on 12 epoch samples instead of 6 — this host's 30-60s stall waves
+    # can depress most of one replay (observed: neighboring epochs in
+    # one run at 89k and 1.16M ev/s), and a single run's median still
+    # carries the wave; cdc_replay_apply reports the total wall.
+    #
+    # ARTIFACT ACCEPTANCE IS NOISE-AWARE (round-3 VERDICT #1): each
+    # attempt is bracketed by a host-noise probe (pre: wait out a wave
+    # before starting; post: detect one that hit mid-run), and an
+    # attempt is ACCEPTED only if the probes were quiet, the trend gate
+    # held (estimator = epoch_median) and the all-epoch dispersion is
+    # <= 2. Up to BENCH_MAX_ATTEMPTS tries; if none passes, the
+    # least-dispersed attempt is reported with its honest (possibly
+    # wall-gated) estimator and accepted=false — the artifact can state
+    # its own weather, but it no longer depends on one throw of it.
     table_root = os.path.join(base, "crba_bench_table")
-    t0 = time.monotonic()
-    epoch_samples = []
-    replay_medians = []
-    for _rep in range(2):
-        res = run_replay(spark, table_root)
-        rates = [round(e["events_in"] / e["apply_s"], 1) for e in res["per_epoch"]]
-        epoch_samples += rates
-        replay_medians.append(round(statistics.median(rates), 1))
-        _sh.rmtree(table_root, ignore_errors=True)
-    timings["cdc_replay_apply"] = round(time.monotonic() - t0, 3)
+    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
+    noise_max = float(os.environ.get("BENCH_NOISE_MAX_RATIO", "1.35"))
+    noise_wait = int(os.environ.get("BENCH_NOISE_WAIT_S", "75"))
+    attempts: list[dict] = []
+    for _attempt in range(max_attempts):
+        pre = host_noise_ratio()
+        waited = 0
+        while pre > noise_max and waited < 4 * noise_wait:
+            time.sleep(noise_wait)
+            waited += noise_wait
+            pre = host_noise_ratio()
+        t0 = time.monotonic()
+        epoch_samples: list[float] = []
+        replay_medians: list[float] = []
+        for _rep in range(2):
+            res = run_replay(spark, table_root)
+            rates = [
+                round(e["events_in"] / e["apply_s"], 1) for e in res["per_epoch"]
+            ]
+            epoch_samples += rates
+            replay_medians.append(round(statistics.median(rates), 1))
+            _sh.rmtree(table_root, ignore_errors=True)
+        replay_wall = round(time.monotonic() - t0, 3)
+        post = host_noise_ratio()
+        # BASELINE.json's metric is SUSTAINED apply events/sec; the
+        # median of per-epoch rates is the sustained estimator,
+        # TREND-GATED (round-2 ADVICE): an engine-wide regression
+        # persists through the final replay while noise waves are
+        # transient — if the last replay's median falls below 60% of
+        # the overall median, fall back to min(median, wall).
+        wall_rate = round(2 * res["events_applied"] / replay_wall, 1)
+        med_rate = round(statistics.median(epoch_samples), 1)
+        spread = round(max(epoch_samples) / min(epoch_samples), 2)
+        trend_ok = replay_medians[-1] >= 0.6 * med_rate
+        rec = {
+            "replay_wall": replay_wall,
+            "epoch_rates": epoch_samples,  # ALL timed epochs — no exclusions
+            "replay_medians": replay_medians,
+            "wall_rate": wall_rate,
+            "med_rate": med_rate,
+            "spread": spread,
+            "trend_ok": trend_ok,
+            "noise_pre": pre,
+            "noise_post": post,
+            "events": 2 * res["events_applied"],
+            "accepted": bool(
+                trend_ok and spread <= 2.0 and pre <= noise_max and post <= noise_max
+            ),
+        }
+        attempts.append(rec)
+        if rec["accepted"]:
+            break
+    chosen = next(
+        (a for a in attempts if a["accepted"]),
+        min(attempts, key=lambda a: a["spread"]),
+    )
+    timings["cdc_replay_apply"] = chosen["replay_wall"]
+    headline_rate = (
+        chosen["med_rate"]
+        if chosen["trend_ok"]
+        else min(chosen["med_rate"], chosen["wall_rate"])
+    )
 
-    # 2. operator queries at the bench SF
+    # 2. exchange-free aligned ingest vs the repartition path (round-3
+    # VERDICT #8) — separate fields, not part of the headline total
+    aligned = aligned_compare(spark, base)
+
+    # 3. operator queries at the bench SF
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        df.count()
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    epoch_rates = epoch_samples  # ALL timed epochs — no excluded samples
-    # BASELINE.json's metric is SUSTAINED apply events/sec; the median of
-    # per-epoch rates is the sustained estimator. Round-2 ADVICE: an
-    # ungated median could hide a GENUINE engine slowdown as "host
-    # noise", so the estimator is TREND-GATED: an engine-wide regression
-    # (leak, code-cache exhaustion, table-size creep) persists through
-    # the final replay, while this host's documented 30-60s noise waves
-    # are transient — if the last replay's median falls below 60% of the
-    # overall median, the headline falls back to min(median, wall) and
-    # can never overstate. Wall quotient + dispersion always reported.
-    wall_rate = round(2 * res["events_applied"] / timings["cdc_replay_apply"], 1)
-    med_rate = round(statistics.median(epoch_rates), 1)
-    spread = round(max(epoch_rates) / min(epoch_rates), 2)
-    trend_ok = replay_medians[-1] >= 0.6 * med_rate
-    headline_rate = med_rate if trend_ok else min(med_rate, wall_rate)
     print(
         json.dumps(
             {
@@ -286,15 +446,21 @@ def full_bench() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": headline_rate,
                 "cdc_rate_estimator": (
-                    "epoch_median" if trend_ok else "wall_gated"
+                    "epoch_median" if chosen["trend_ok"] else "wall_gated"
                 ),
-                "cdc_rate_dispersion": spread,
-                "cdc_replay_medians": replay_medians,
-                "cdc_events_per_sec_wall": wall_rate,
-                "cdc_events_per_sec_median": med_rate,
-                "cdc_events_applied": 2 * res["events_applied"],
-                "cdc_epoch_rates": epoch_rates,
+                "cdc_rate_dispersion": chosen["spread"],
+                "cdc_replay_medians": chosen["replay_medians"],
+                "cdc_events_per_sec_wall": chosen["wall_rate"],
+                "cdc_events_per_sec_median": chosen["med_rate"],
+                "cdc_events_applied": chosen["events"],
+                "cdc_epoch_rates": chosen["epoch_rates"],
                 "cdc_warmup_rates": warm_rates,
+                "bench_accepted": chosen["accepted"],
+                "bench_attempts": len(attempts),
+                "noise_probe_pre": chosen["noise_pre"],
+                "noise_probe_post": chosen["noise_post"],
+                "attempt_spreads": [a["spread"] for a in attempts],
+                **aligned,
                 "cpus": int(CPUS),
             }
         )
@@ -326,8 +492,18 @@ def scaling(n_rounds: int = 5) -> None:
     results: dict[int, list[dict]] = {n_small: [], n_big: []}
     if os.environ.get("BENCH_SCALING_ROUNDS"):
         n_rounds = int(os.environ["BENCH_SCALING_ROUNDS"])
+    noise_max = float(os.environ.get("BENCH_NOISE_MAX_RATIO", "1.35"))
+    noise_wait = int(os.environ.get("BENCH_NOISE_WAIT_S", "75"))
     order = [c for _ in range(n_rounds) for c in (n_small, n_big)]
     for i, cpus in enumerate(order):
+        # same noise-aware gating as full_bench: don't hand a contended
+        # window to either config (interleaving already balances WHICH
+        # config eats residual noise; this reduces how much there is)
+        pre, waited = host_noise_ratio(), 0
+        while pre > noise_max and waited < 4 * noise_wait:
+            time.sleep(noise_wait)
+            waited += noise_wait
+            pre = host_noise_ratio()
         p = subprocess.run(
             [sys.executable, __file__, "--replay-only", "--cpus", str(cpus), "--json"],
             capture_output=True,

@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("rebucket")
     common(p)
     p.add_argument("--to-buckets", type=int, required=True)
+    # resumable mode: rewrite N old buckets per progress commit so a
+    # crash resumes instead of restarting the O(table) rewrite
+    p.add_argument("--chunk-old-buckets", type=int, default=None)
 
     p = sub.add_parser("check")
     p.add_argument("--html", help="also render the report as a data-docs HTML page")
@@ -113,7 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         engine.compact(drop_tombstones=args.drop_tombstones)
         print(json.dumps({"version": engine.table.snapshot()["version"]}))
     elif args.cmd == "rebucket":
-        snap = engine.table.rebucket(spark, args.to_buckets)
+        snap = engine.table.rebucket(
+            spark, args.to_buckets, chunk_old_buckets=args.chunk_old_buckets
+        )
         print(json.dumps({"version": snap["version"], "n_buckets": snap["n_buckets"]}))
     elif args.cmd == "check":
         from .checks import run_checks, write_report_html

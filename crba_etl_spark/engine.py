@@ -148,6 +148,11 @@ class CDCEngine:
                         "reason": "slice committed; epoch marker promoted",
                     }
                 return {"epoch": epoch, "skipped": True, "reason": "slice committed"}
+            if epoch in self.table.committed_epochs():
+                # a committed epoch's declared file set is fully covered,
+                # so every slice of it — even under a fresh checkpoint's
+                # renumbered markers — is redundant by the _DONE contract
+                return {"epoch": epoch, "skipped": True, "reason": "already committed"}
         elif epoch in self.table.committed_epochs():
             return {"epoch": epoch, "skipped": True, "reason": "already committed"}
 

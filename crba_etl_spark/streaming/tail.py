@@ -101,6 +101,20 @@ def stream_apply(
         except FileNotFoundError:
             return None  # epoch still open: never mark it complete
 
+    def _sweep_open_epochs() -> None:
+        """Promote every still-open epoch whose applied-file union now
+        covers its (possibly late-landing) _DONE declaration. An epoch
+        whose LAST slice was applied before the producer declared
+        completeness never re-enters the batch loop via rows (the file
+        source does not re-read processed files), so without this its
+        ``epoch_files`` entry lingers forever and the exactly-once
+        marker is missed (round-3 ADVICE). Metadata-only commits; runs
+        at stream start (the no-new-traffic case) and after each batch."""
+        for k_str, applied in engine.table.epoch_files().items():
+            declared = _declared_files(int(k_str))
+            if declared is not None and set(applied) >= declared:
+                engine.table.mark_epoch_committed(int(k_str))
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # one micro-batch may span several epochs: apply each in order,
         # dropping all-null padding columns the fixed envelope added for
@@ -119,6 +133,14 @@ def stream_apply(
             )
         applied_so_far = engine.table.epoch_files()
         for k in sorted(files_in_batch):
+            if files_in_batch[k] <= set(applied_so_far.get(str(k), [])):
+                # every file in this slice was already applied by an
+                # earlier slice of the still-open epoch — a fresh
+                # checkpoint's renumbered batch ids defeat the marker
+                # check, but the per-epoch applied-file union catches
+                # the redelivery exactly; nothing new to commit (the
+                # sweep below promotes the marker once _DONE covers it)
+                continue
             ev = batch.filter(F.col("epoch") == k)
             declared = _declared_files(k)
             union = set(applied_so_far.get(str(k), [])) | files_in_batch[k]
@@ -131,17 +153,11 @@ def stream_apply(
                 slice_files=sorted(files_in_batch[k]),
             )
 
-        # late-_DONE sweep: an epoch whose LAST slice was applied before
-        # the producer declared completeness never re-enters the loop
-        # above (the file source does not re-read processed files, so no
-        # future batch carries its rows) — its entry lingers in
-        # ``epoch_files`` forever and the exactly-once marker is missed.
-        # Re-check every still-open epoch's declaration here and promote
-        # with a metadata-only commit once the applied union covers it.
-        for k_str, applied in engine.table.epoch_files().items():
-            declared = _declared_files(int(k_str))
-            if declared is not None and set(applied) >= declared:
-                engine.table.mark_epoch_committed(int(k_str))
+        _sweep_open_epochs()
+
+    # reconcile BEFORE the stream starts: _DONE may have landed while no
+    # stream was running, with no new traffic to fire a batch afterwards
+    _sweep_open_epochs()
 
     writer = (
         tail.writeStream.foreachBatch(apply_batch)

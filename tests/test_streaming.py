@@ -98,3 +98,80 @@ def test_late_arriving_file_completes_epoch_via_done_marker(spark, tmpdir_):
     # and a batch replay now skips both epochs
     r = eng.replay(d)
     assert r["epochs_applied"] == []
+
+
+def test_rate_limited_soak_many_triggers(spark, tmpdir_):
+    """Round-3 VERDICT #4: drive the tail the way a broker would —
+    ``maxFilesPerTrigger=1`` so every source file is its own
+    micro-batch (>=10 triggers), file arrival order INTERLEAVED across
+    epochs (mtimes scrambled; the file source processes oldest-first),
+    one epoch's _DONE arriving only mid-stream. Asserts: final state ==
+    the batch-replay oracle, every epoch's marker lands, exactly ONE
+    commit (metrics row) per (epoch, slice), and a full redelivery with
+    a fresh checkpoint commits nothing new."""
+    import glob
+    import shutil
+
+    d = os.path.join(tmpdir_, "stream")
+    generate_stream(
+        d,
+        StreamSpec(seed=31, n_events=3600, n_epochs=3, evolve_epoch=None,
+                   rows_per_file=300),
+    )
+    files = sorted(glob.glob(os.path.join(d, "epoch=*", "part-*.parquet")))
+    assert len(files) >= 10  # >=10 triggers at one file per batch
+    # scramble arrival order across epochs: oldest-first processing now
+    # interleaves epoch 2 files between epoch 0's, etc.
+    for i, p in enumerate(sorted(files, key=lambda s: hash(s))):
+        t = 1_700_000_000 + i * 7
+        os.utime(p, (t, t))
+    # epoch 1's completeness is declared only after its files started
+    # flowing (the late-_DONE regime, now under many tiny batches)
+    parked = os.path.join(tmpdir_, "parked_DONE")
+    shutil.move(os.path.join(d, "epoch=1", "_DONE"), parked)
+
+    eng = CDCEngine(
+        spark, os.path.join(tmpdir_, "t"), n_buckets=4, mode="mor",
+        max_deltas_per_bucket=10_000,  # no compaction mid-soak: keep the
+    )                                  # version history pure commit-per-slice
+    ckpt = os.path.join(tmpdir_, "ckpt")
+    q = stream_apply(spark, eng, d, checkpoint_dir=ckpt, max_files_per_trigger=1)
+    q.awaitTermination(timeout=600)
+    n_batches_1 = len(os.listdir(os.path.join(ckpt, "offsets")))
+    assert n_batches_1 >= 10
+    assert 1 not in eng.table.committed_epochs()
+
+    shutil.move(parked, os.path.join(d, "epoch=1", "_DONE"))
+    q2 = stream_apply(spark, eng, d, checkpoint_dir=ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(timeout=600)
+
+    assert eng.table.committed_epochs() == {0, 1, 2}
+    assert eng.table.epoch_files() == {}
+    got = (
+        eng.read_final().orderBy("conv_id", "turn_idx", "ts")
+        .toPandas().reset_index(drop=True)
+    )
+    exp = oracle_final(d).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # exactly one commit per (epoch, slice): every slice marker in the
+    # snapshot has exactly one metrics row, and their count matches
+    slice_metrics = [
+        f for f in os.listdir(eng.metrics_dir)
+        if f.startswith("epoch=") and ".e" in f and f.endswith(".json")
+    ]
+    markers = eng.table.committed_slices()
+    assert len(slice_metrics) == len(markers)
+    assert len(set(slice_metrics)) == len(slice_metrics)
+
+    # full redelivery, fresh checkpoint: zero new commits, state frozen
+    v_before = eng.table.snapshot()["version"]
+    q3 = stream_apply(
+        spark, eng, d, checkpoint_dir=os.path.join(tmpdir_, "ckpt_redeliver"),
+        max_files_per_trigger=1,
+    )
+    q3.awaitTermination(timeout=600)
+    assert eng.table.snapshot()["version"] == v_before
+    assert len(
+        [f for f in os.listdir(eng.metrics_dir) if f.endswith(".json")]
+    ) == len(slice_metrics)
