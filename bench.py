@@ -98,11 +98,23 @@ def stream_dir() -> str:
 
 
 def warmup_stream_dir() -> str:
-    """A small single-epoch stream used to JIT the whole apply path
-    (codegen, Arrow, parquet writer) before the timed run."""
+    """A single-epoch stream used to JIT the whole apply path (codegen,
+    Arrow, parquet writer) before the timed run. The warmup epoch is the
+    SAME SIZE as a timed epoch: a smaller one carries a higher fixed
+    per-epoch overhead fraction, which hides the tail of the JIT ramp
+    from the plateau detector — measured round 4: 2M-event warmups
+    plateaued at 1.5M ev/s while the 4M timed epochs sustain 2.7M+, so
+    the first timed epoch still opened ~2x low and alone pushed the
+    all-epoch dispersion past the ≤2 bar."""
+    # cap at 4M: past that the fixed per-epoch overhead is already a
+    # negligible fraction of the warmup rate, so matching buys nothing
+    # and only slows the low-parallelism scaling subprocesses
+    n = min(max(2_000_000, REPLAY_EVENTS // REPLAY_EPOCHS), 4_000_000)
     return _gen_stream(
-        os.path.join(tempfile.gettempdir(), f"crba_bench_warmup_v4_{TEXT_PAD}"),
-        2_000_000,
+        os.path.join(
+            tempfile.gettempdir(), f"crba_bench_warmup_v5_{n}_{TEXT_PAD}"
+        ),
+        n,
         1,
         None,
     )
@@ -143,7 +155,7 @@ def host_noise_ratio(samples: int = 3) -> float:
 
 
 def warm_until_plateau(
-    spark, base: str, tag: str, max_iters: int = 8, plateau_ratio: float = 1.2
+    spark, base: str, tag: str, max_iters: int = 8, plateau_ratio: float = 1.1
 ) -> list[float]:
     """Replay the warmup epoch on fresh tables until the apply rate
     PLATEAUS (next epoch < plateau_ratio x previous) instead of a fixed
@@ -214,32 +226,40 @@ def aligned_compare(spark, base: str) -> dict:
             .saveAsTable(name)
         )
         tables[k] = name
-    out: dict[str, float] = {}
+    # 3 interleaved rounds per path, median reported: a single timed
+    # pass per path let one noise spike (or the aligned plan's own
+    # first-compilation) own the ratio — observed 1.04x..1.84x across
+    # runs of the same code
+    rates: dict[str, list[float]] = {"repartition": [], "aligned": []}
     try:
-        for mode_name, aligned in (("repartition", False), ("aligned", True)):
-            root = os.path.join(base, f"crba_bench_alcmp_{mode_name}")
-            _sh.rmtree(root, ignore_errors=True)
-            eng = CDCEngine(spark, root, n_buckets=32, mode="mor")
-            t0 = time.monotonic()
-            n = 0
-            for k in epochs:
-                ev = (
-                    spark.table(tables[k])
-                    if aligned
-                    else spark.read.parquet(os.path.join(d, f"epoch={k}"))
-                )
-                st = eng.apply_epoch(ev, k, source_aligned=aligned)
-                n += st["events_in"]
-            out[f"cdc_{mode_name}_events_per_sec"] = round(
-                n / (time.monotonic() - t0), 1
-            )
-            _sh.rmtree(root, ignore_errors=True)
+        for _round in range(3):
+            for mode_name, aligned in (("repartition", False), ("aligned", True)):
+                root = os.path.join(base, f"crba_bench_alcmp_{mode_name}")
+                _sh.rmtree(root, ignore_errors=True)
+                eng = CDCEngine(spark, root, n_buckets=32, mode="mor")
+                t0 = time.monotonic()
+                n = 0
+                for k in epochs:
+                    ev = (
+                        spark.table(tables[k])
+                        if aligned
+                        else spark.read.parquet(os.path.join(d, f"epoch={k}"))
+                    )
+                    st = eng.apply_epoch(ev, k, source_aligned=aligned)
+                    n += st["events_in"]
+                rates[mode_name].append(round(n / (time.monotonic() - t0), 1))
+                _sh.rmtree(root, ignore_errors=True)
     finally:
         for name in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+    out = {
+        f"cdc_{m}_events_per_sec": round(statistics.median(v), 1)
+        for m, v in rates.items()
+    }
     out["aligned_speedup"] = round(
         out["cdc_aligned_events_per_sec"] / out["cdc_repartition_events_per_sec"], 3
     )
+    out["aligned_compare_runs"] = rates
     return out
 
 
