@@ -514,8 +514,10 @@ def scaling(n_rounds: int = 5) -> None:
         n_rounds = int(os.environ["BENCH_SCALING_ROUNDS"])
     noise_max = float(os.environ.get("BENCH_NOISE_MAX_RATIO", "1.35"))
     noise_wait = int(os.environ.get("BENCH_NOISE_WAIT_S", "75"))
-    order = [c for _ in range(n_rounds) for c in (n_small, n_big)]
-    for i, cpus in enumerate(order):
+    max_retries = int(os.environ.get("BENCH_SCALING_RETRIES", "2"))
+    contended: list[dict] = []
+
+    def one_run(cpus: int) -> dict:
         # same noise-aware gating as full_bench: don't hand a contended
         # window to either config (interleaving already balances WHICH
         # config eats residual noise; this reduces how much there is)
@@ -532,8 +534,35 @@ def scaling(n_rounds: int = 5) -> None:
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
-        results[cpus].append(r)
-        print(f"run #{i} cpus={cpus}: {r}", file=sys.stderr)
+        r["spread"] = round(max(r["epoch_rates"]) / min(r["epoch_rates"]), 2)
+        return r
+
+    order = [c for _ in range(n_rounds) for c in (n_small, n_big)]
+    for i, cpus in enumerate(order):
+        # per-MEASUREMENT acceptance, the same ≤2 internal-dispersion
+        # bar the headline artifact uses: a run whose own epochs spread
+        # >2x was hit by a noise wave that started after the quiet
+        # pre-launch probe (observed: clean local[8] runs spread ~1.3,
+        # wave-hit ones 2.6-5.7) — that is an invalid MEASUREMENT of
+        # the engine, not an unfavorable sample, so it is re-taken
+        # (bounded) and every attempt is reported in the artifact.
+        best = None
+        for _attempt in range(max_retries + 1):
+            r = one_run(cpus)
+            print(f"run #{i} cpus={cpus} spread={r['spread']}: {r}", file=sys.stderr)
+            if best is None or r["spread"] < best["spread"]:
+                best = r
+            if r["spread"] <= 2.0:
+                break
+            contended.append(
+                {
+                    "cpus": cpus,
+                    "events_per_sec": r["events_per_sec"],
+                    "epoch_rates": r["epoch_rates"],
+                    "spread": r["spread"],
+                }
+            )
+        results[cpus].append(best)
 
     def epoch_median(cpus: int) -> float:
         # no warmup exclusion: replay_only warms each JVM to plateau
@@ -562,6 +591,13 @@ def scaling(n_rounds: int = 5) -> None:
         "epoch_rates": {
             str(k): [r["epoch_rates"] for r in v] for k, v in results.items()
         },
+        "run_spreads": {
+            str(k): [r["spread"] for r in v] for k, v in results.items()
+        },
+        # wave-hit measurements that were re-taken (internal dispersion
+        # > 2 — the same bar the headline artifact applies to itself);
+        # reported in full, never silently dropped
+        "contended_reruns": contended,
     }
     print(json.dumps(out))
     _write_baseline_md(out)
@@ -588,7 +624,13 @@ def _write_baseline_md(out: dict) -> None:
         f"(local[{out['n_small']}] {out['tput_small']:,.0f} / "
         f"local[{out['n_big']}] {out['tput_big']:,.0f} ev/s, "
         f"{out['events']:,} events x {len(out['runs'][str(out['n_small'])])} "
-        f"interleaved runs per config)"
+        f"interleaved runs per config"
+        + (
+            f"; {len(out['contended_reruns'])} wave-hit runs re-taken"
+            if out.get("contended_reruns")
+            else ""
+        )
+        + ")"
     )
     history = (entry + "\n" + history).strip("\n")
     ev = out["events"]
@@ -618,6 +660,14 @@ workload measures the box, not the engine. This is also a noisy shared
 VM (identical runs observed varying 32s..207s in waves), hence the
 interleaving + per-epoch-median estimator; whole-run wall-time medians
 (events/sec) are reported below for transparency.
+
+Per-MEASUREMENT acceptance (round 4): a run whose own four epoch rates
+spread more than 2x was hit by a noise wave that began after the quiet
+pre-launch probe — an invalid measurement of the engine, re-taken up to
+2x with every attempt reported below (never silently dropped). Accepted
+runs' internal spreads: local[{ns}] = {out['run_spreads'][str(ns)]},
+local[{nb}] = {out['run_spreads'][str(nb)]}; wave-hit attempts re-taken:
+{len(out['contended_reruns'])} ({[(c['cpus'], c['events_per_sec']) for c in out['contended_reruns']]}).
 
 Whole-run wall medians (events/sec): local[{ns}] = {out['wall_medians'][str(ns)]:,.0f},
 local[{nb}] = {out['wall_medians'][str(nb)]:,.0f}
