@@ -1114,6 +1114,64 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
 """
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Transitive near-duplicate GROUPS — the step that turns pair lists
+    into dedup decisions (if A~B and B~C, one keeper must survive for
+    {A,B,C} even though A~C was never emitted): LSH candidates →
+    exact-Jaccard-verified pairs (≥0.35, the `lsh_verified_pairs`
+    composition) → distributed connected components (iterative
+    min-label propagation, operators/graph.py). Every document gets
+    (doc_id, group_id) with group_id = the component's smallest doc_id
+    (deterministic, engine-portable, and the natural keeper id);
+    documents with no near-dup edge label themselves. The DuckDB
+    oracle replays the exact same pairs and closes them transitively
+    with a recursive CTE."""
+    from .operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = text_dedup.jaccard_verify_pairs(
+        docs, text_dedup.minhash_lsh_candidates(docs), threshold=0.35
+    )
+    cc = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
+def _sql_dedup_groups():
+    return f"""
+WITH RECURSIVE {_sql_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT s.b, w.root FROM walk w JOIN sym s ON s.a = w.node
+)
+SELECT node AS doc_id, min(root) AS group_id FROM walk GROUP BY 1
+"""
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash Hamming-radius search, sub-quadratic (byte-block
     bucketing); COMPLETE for radius 3 — the oracle computes the same set
@@ -1633,6 +1691,187 @@ SELECT doc_id, lang_pred, sample_rank FROM r WHERE sample_rank <= 3
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each document draws key = u^(1/w) with
+    u an md5-derived uniform in (0,1] and weight w = its length; the
+    top-k by key IS a weighted sample without replacement — longer
+    documents proportionally likelier, yet fully reproducible across
+    engines, runs and partitionings (never rand(); the same discipline
+    as hash_split_sample / stratified_sample). The scale shape is a
+    top-k (TakeOrderedAndProject: per-partition heaps, no global
+    sort/window), so it runs on any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    w = F.length("text").cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        docs.select("doc_id", F.length("text").alias("doc_len"), key.alias("_k"))
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(25)
+        .select("doc_id", "doc_len", F.round("_k", 6).alias("sample_key"))
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, length(text) AS doc_len,
+         pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+               / 4294967296.0,
+             1.0 / length(text)) AS _k
+  FROM documents
+)
+SELECT doc_id, doc_len, round(_k, 6) AS sample_key
+FROM k ORDER BY _k DESC, doc_id LIMIT 25
+"""
+
+
+#: BM25 constants (the standard Robertson defaults) + a fixed demo query
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("data", "model", "system")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval over the documents table (corpus search is
+    how curation teams FIND the data worth keeping/dropping): tokenize →
+    per-term document frequencies → idf = ln(1 + (N-df+0.5)/(df+0.5)) →
+    per-doc score with k1/b length normalization → top 15. Everything is
+    one declarative plan: explode for tokens, two map-side-combinable
+    aggs (term stats, doc lengths), a broadcast-size term-stats join
+    (|query terms| rows), and a top-k. No UDFs, no global window; the
+    only full-corpus pass is the tokenize+agg. Scores round(6) for
+    cross-engine double stability."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(15)
+
+
+def _sql_bm25_topk():
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+         ) AS s
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id, stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM scored ORDER BY s DESC, doc_id LIMIT 15
+"""
+
+
+#: columns profiled by q_table_profile — a fixed, mixed-type projection
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def q_table_profile(spark, sf_dir):
+    """Column-level data profiling (the first query every ingest/debug
+    session runs; the reference's completeness/log-report stats are the
+    same idea per staging file — SURVEY §2.4 AGG-STATS): one row per
+    profiled column with row count, null count, distinct count and
+    min/max (stringified so mixed types share one schema). Shape: ONE
+    pass over the table computing all columns' aggregates side by side
+    (map-side combinable), then a tiny driver-side unpivot of the 1-row
+    result — never a per-column scan."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = load(spark, sf_dir, "orders").agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def _sql_table_profile():
+    parts = [
+        f"""
+SELECT '{c}' AS column, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c}::VARCHAR) AS min_str, max({c}::VARCHAR) AS max_str
+FROM orders"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_cosine_near_dup_exact(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact all-pairs form — the
     recall baseline the LSH path is measured against (quadratic; never
@@ -1789,6 +2028,7 @@ def registry() -> dict[str, tuple]:
         "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
         "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
+        "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
         "simhash": (q_simhash, _sql_simhash()),
         "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_near_pairs()),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -1797,6 +2037,9 @@ def registry() -> dict[str, tuple]:
         "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
         "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
+        "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+        "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
+        "table_profile": (q_table_profile, _sql_table_profile()),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf_topk()),
         "embedding_lsh_candidates": (q_embedding_lsh_candidates, _sql_embedding_lsh()),
