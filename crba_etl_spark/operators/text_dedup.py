@@ -159,6 +159,64 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_idx, band_hash) rows from a signature relation — the
+    LSH bucketing unit shared by the self-join (dedup within a corpus)
+    and the new×existing join (incremental dedup against a corpus)."""
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"s{j}")
+                    for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                ],
+            )
+        ).alias("band_hash")
+        for b in range(N_BANDS)
+    ]
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_cols[b])
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "bd.band_idx", "bd.band_hash")
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame, existing_docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The PRODUCTION dedup shape: near-dup candidates of an INCOMING
+    batch against the already-ingested corpus — a new×existing banded
+    equi-join, NOT a self-join. In a running pipeline the existing
+    side's signatures are computed once at ingest and stored as a table
+    keyed by (band_idx, band_hash); per batch the cost is then
+    O(|new| × bands + matched buckets) regardless of corpus size, and
+    the join is bucket-prunable on the band hash. Here both sides'
+    signatures are computed inline (tracked persist) so the operator is
+    self-contained; the join/candidate semantics are identical either
+    way. Output: (new_id, existing_id, n_shared_bands)."""
+    nb = _band_rows(
+        persist_tracked(minhash_signatures(new_docs, id_col)), id_col
+    ).alias("n")
+    eb = _band_rows(
+        persist_tracked(minhash_signatures(existing_docs, id_col)), id_col
+    ).alias("e")
+    return (
+        nb.join(eb, on=["band_idx", "band_hash"])
+        .groupBy(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"e.{id_col}").alias("existing_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over the MinHash
     signature: docs sharing >= 1 of the 4 bands (4 rows each).
@@ -174,25 +232,7 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     (``cache.release_caches`` frees it once results are materialized —
     round-3 ADVICE cache-leak fix)."""
     sig = persist_tracked(minhash_signatures(docs, id_col))
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ":", *[F.col(f"s{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
-            )
-        ).alias("band_hash")
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), band_cols[b])
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bd"),
-    ).select(id_col, "bd.band_idx", "bd.band_hash")
+    bands = _band_rows(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, on=["band_idx", "band_hash"])

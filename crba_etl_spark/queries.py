@@ -1114,6 +1114,72 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
 """
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental dedup — the shape a RUNNING ingestion pipeline needs:
+    near-dup candidates of an incoming batch (the hash-split 20% 'new'
+    slice, same md5 split rule as `hash_split_sample`) against the
+    already-ingested corpus (the 80% 'existing' slice). A new×existing
+    banded equi-join, never a self-join: in production the existing
+    side's band table is precomputed at ingest, so per-batch cost is
+    independent of corpus size. Output (new_id, existing_id,
+    n_shared_bands); downstream, `jaccard_verify_pairs` + a keeper rule
+    decide drops."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    existing = docs.filter(bucket < 80)
+    new = docs.filter(bucket >= 80)
+    return text_dedup.incremental_lsh_candidates(new, existing)
+
+
+def _sql_incremental_near_dup():
+    return f"""
+WITH {_sql_lsh_ctes()},
+split AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100) AS b
+  FROM documents
+)
+SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
+       count(*) AS n_shared_bands
+FROM bands n
+JOIN split sn ON sn.doc_id = n.doc_id AND sn.b >= 80
+JOIN bands e ON n.band_idx = e.band_idx AND n.band_hash = e.band_hash
+JOIN split se ON se.doc_id = e.doc_id AND se.b < 80
+GROUP BY 1, 2
+"""
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate mining: the character 5-grams shared by the most
+    documents (document frequency ≥ 5), top 20 — the signal behind
+    boilerplate/template stripping and the `max_doc_freq` posting-list
+    cap in the Jaccard join (hot shingles dominate join cost while
+    contributing least to similarity). One shingle pass + one
+    map-side-combinable agg + top-k; output is O(k) at any corpus
+    size."""
+    sh = text_dedup.shingles(load(spark, sf_dir, "documents"))
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+        .orderBy(F.desc("df"), "sh")
+        .limit(20)
+    )
+
+
+def _sql_boilerplate_ngrams():
+    return f"""
+WITH {_SQL_SHINGLES}
+SELECT sh, count(*) AS df FROM sh
+GROUP BY 1 HAVING count(*) >= 5
+ORDER BY df DESC, sh LIMIT 20
+"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """Transitive near-duplicate GROUPS — the step that turns pair lists
     into dedup decisions (if A~B and B~C, one keeper must survive for
@@ -1691,6 +1757,69 @@ SELECT doc_id, lang_pred, sample_rank FROM r WHERE sample_rank <= 3
 """
 
 
+def q_interval_join_binned(spark, sf_dir):
+    """Scale-safe INTERVAL (range) join with NO equi key — the join
+    shape Spark has no native strategy for: windows = the 5 busiest
+    hours of the event stream widened ±30 minutes, count the events
+    inside each. The naive ``ts BETWEEN w_start AND w_end`` join is a
+    nested-loop/cartesian (forbidden by this repo's registry-wide plan
+    sweep); the standard scale fix BINS time at the window-length
+    granularity: each window explodes into the hour bins it covers
+    (≤3 rows per window), each event lands in exactly one bin, the
+    join becomes an EQUI-join on the bin, and exact containment is a
+    post-filter. Cost O(events + windows×bins) with uniform keys —
+    survives any corpus size, and AQE broadcasts the tiny exploded
+    window side. Overlapping windows are handled naturally (an event
+    counts in every window containing it)."""
+    ev = load(spark, sf_dir, "events").select("ts")
+    hours = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "hr")
+        .limit(5)
+    )
+    w = hours.select(
+        (F.col("hr") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        (F.col("hr") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+    )
+    wb = w.select(
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("w_start") / 3600).cast("long"),
+                F.floor((F.unix_timestamp("w_end") - 1) / 3600).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    eb = ev.select(
+        "ts", F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("bin")
+    )
+    return (
+        eb.join(F.broadcast(wb), "bin")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("w_start", "w_end")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_INTERVAL_JOIN_BINNED = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events GROUP BY 1
+  ORDER BY n DESC, hr LIMIT 5
+),
+w AS (
+  SELECT hr - INTERVAL 30 MINUTE AS w_start,
+         hr + INTERVAL 90 MINUTE AS w_end
+  FROM h
+)
+SELECT w.w_start, w.w_end, count(*) AS n_events
+FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1, 2
+"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling WITHOUT replacement
     (Efraimidis–Spirakis A-ES): each document draws key = u^(1/w) with
@@ -2029,6 +2158,8 @@ def registry() -> dict[str, tuple]:
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
         "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
         "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
+        "incremental_near_dup": (q_incremental_near_dup, _sql_incremental_near_dup()),
+        "boilerplate_ngrams": (q_boilerplate_ngrams, _sql_boilerplate_ngrams()),
         "simhash": (q_simhash, _sql_simhash()),
         "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_near_pairs()),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -2038,6 +2169,7 @@ def registry() -> dict[str, tuple]:
         "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
         "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+        "interval_join_binned": (q_interval_join_binned, SQL_INTERVAL_JOIN_BINNED),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
         "table_profile": (q_table_profile, _sql_table_profile()),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
