@@ -1757,6 +1757,120 @@ SELECT doc_id, lang_pred, sample_rank FROM r WHERE sample_rank <= 3
 """
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (signup → click → purchase): per user,
+    stage k counts only if it happened strictly AFTER the user's stage
+    k-1 time — the ordering constraint is what separates a funnel from
+    three independent counts. Shape: one filtered min-agg per stage,
+    each joined to the previous stage's per-user time (all three are
+    user-keyed equi-joins over shrinking sets); no windows, no UDFs.
+    Output: (stage, n_users), one row per funnel stage."""
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.lit("1_signup").alias("stage"), F.count(F.lit(1)).alias("n_users"))
+        .union(
+            s2.agg(
+                F.lit("2_signup_then_click").alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        .union(
+            s3.agg(
+                F.lit("3_then_purchase").alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+UNION ALL
+SELECT '2_signup_then_click', count(*) FROM s2
+UNION ALL
+SELECT '3_then_purchase', count(*) FROM s3
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by their first-signup
+    week; for each cohort, distinct active users at each non-negative
+    week offset. The standard product-analytics matrix, computed as two
+    map-side-combinable aggs + one user-keyed join — the distinct
+    (user, week) activity set is formed BEFORE the join, so the join
+    input is already deduplicated (no row explosion on active users).
+    Week truncation is ISO-Monday in both engines."""
+    ev = load(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+)
+SELECT cohort_week,
+       (date_diff('day', cohort_week, week) / 7)::INT AS week_offset,
+       count(*) AS n_users
+FROM activity JOIN cohort USING (user_id)
+WHERE date_diff('day', cohort_week, week) >= 0
+GROUP BY 1, 2
+"""
+
+
 def q_interval_join_binned(spark, sf_dir):
     """Scale-safe INTERVAL (range) join with NO equi key — the join
     shape Spark has no native strategy for: windows = the 5 busiest
@@ -2170,6 +2284,8 @@ def registry() -> dict[str, tuple]:
         "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "interval_join_binned": (q_interval_join_binned, SQL_INTERVAL_JOIN_BINNED),
+        "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+        "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
         "table_profile": (q_table_profile, _sql_table_profile()),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
