@@ -1757,6 +1757,56 @@ SELECT doc_id, lang_pred, sample_rank FROM r WHERE sample_rank <= 3
 """
 
 
+#: salt fan-out for the skew-join demonstration
+SALT_N = 8
+
+
+def q_salted_skew_join(spark, sf_dir):
+    """Skew-defused fact×dim join by SALTING — the standard fix when a
+    Zipf-hot join key (here: the events table's heavy-hitter users)
+    funnels one shuffle partition and the join can't be pre-aggregated
+    (the dim attribute must ride every fact row). Fact rows get a salt
+    from a ROW-LEVEL hash (event_id — uniform, content-stable, never
+    rand()); the dim side replicates each row across all SALT_N salts
+    (an explode of a literal range — dim×8 rows, still broadcast-sized);
+    the join key becomes (user_id, salt), splitting each hot key's rows
+    across 8 reducers. Result: per-segment event totals — identical to
+    the unsalted join (the oracle), which is the whole point: salting
+    changes the DISTRIBUTION of work, never the answer. At 100 TB the
+    same shape applies with AQE skew-join as the automatic first resort
+    and explicit salting when a single key exceeds what one task can
+    hold even after AQE splits."""
+    ev = load(spark, sf_dir, "events")
+    # derived user dim: stable segment attribute per distinct user
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(10)).cast("int"))
+    )
+    fact = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(SALT_N)))
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(SALT_N)]))
+    )
+    return (
+        fact.join(dim_rep, on=["user_id", "_salt"])
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_SALTED_SKEW_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT user_id, (user_id % 10)::INT AS segment FROM events
+)
+SELECT segment, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN dim USING (user_id)
+GROUP BY 1
+"""
+
+
 def q_funnel_conversion(spark, sf_dir):
     """Ordered funnel conversion (signup → click → purchase): per user,
     stage k counts only if it happened strictly AFTER the user's stage
@@ -2285,6 +2335,7 @@ def registry() -> dict[str, tuple]:
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "interval_join_binned": (q_interval_join_binned, SQL_INTERVAL_JOIN_BINNED),
         "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+        "salted_skew_join": (q_salted_skew_join, SQL_SALTED_SKEW_JOIN),
         "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
         "bm25_topk": (q_bm25_topk, _sql_bm25_topk()),
         "table_profile": (q_table_profile, _sql_table_profile()),
