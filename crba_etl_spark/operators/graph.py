@@ -65,9 +65,15 @@ def connected_components(
         universe = sym.select(F.col("a").alias("node")).distinct()
     else:
         universe = nodes.select(F.col(node_col).alias("node")).distinct()
-    labels = persist_tracked(
-        universe.select("node", F.col("node").alias("label"))
-    )
+    sym = persist_tracked(sym)
+    # localCheckpoint (eager) both materializes the round AND truncates
+    # the logical plan — without truncation each round's plan embeds the
+    # previous round's whole tree several times over, and Catalyst
+    # re-analysis cost grows exponentially with rounds (measured: the
+    # star variant ground to a halt by round ~7 on a 120-node chain).
+    # On a cluster, swap for reliable checkpoint() if executor loss
+    # during the loop must be survivable.
+    labels = universe.select("node", F.col("node").alias("label")).localCheckpoint()
     checksum = labels.agg(
         F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
@@ -75,19 +81,116 @@ def connected_components(
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
         )
-        new_labels = persist_tracked(
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         new_checksum = new_labels.agg(
             F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
-        prev, labels = labels, new_labels
-        prev.unpersist()
+        labels = new_labels
         if (new_checksum["s"], new_checksum["n"]) == (checksum["s"], checksum["n"]):
             return labels  # fixpoint: no label changed this round
         checksum = new_checksum
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iters} rounds — "
-        "component diameter exceeds the propagation budget; use the "
-        "large-star/small-star contraction for long-chain graphs"
+        "component diameter exceeds the propagation budget; use "
+        "connected_components_star for long-chain graphs"
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each STRICTLY
+    LARGER neighbor to the minimum of u's closed neighborhood. Input and
+    output are undirected edge sets encoded as (a, b) pairs."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = sym.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge toward the smaller
+    endpoint, then connect every smaller neighbor (and u itself) of each
+    node u to the minimum of that neighborhood."""
+    directed = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    m = directed.groupBy("a").agg(F.min("b").alias("m"))
+    joined = directed.join(m, "a")
+    return (
+        joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(joined.select(F.col("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — same output contract as :func:`connected_components`
+    ((node, label), label = component min), but convergence is
+    O(log n) ROUNDS REGARDLESS OF DIAMETER: each round hangs nodes
+    directly off smaller nodes, halving long chains instead of walking
+    them. This is the right variant when components can be long paths
+    (linked near-dup chains, record-linkage graphs); for the dense tiny
+    clusters LSH dedup produces, plain min-label propagation converges
+    in fewer total jobs. Cost per round: two grouped mins + two
+    distincts over the (shrinking) edge set, all equi-shuffles on node
+    ids. Convergence = edge-set fixpoint, checked with a 2-value
+    checksum (count, sum of a·h+b) — labels-only, driver-tiny."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # truncate lineage per round — see the
+    )                       # min-label loop for why this is load-bearing
+
+    def _checksum(df: DataFrame):
+        # order-insensitive set fingerprint: sum of per-edge int32
+        # hashes as long (never overflows; id-magnitude-safe under ANSI)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("a", "b").cast("long")).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    chk = _checksum(e)
+    for _ in range(max_iters):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_chk = _checksum(new_e)
+        e = new_e
+        if new_chk == chk:
+            break
+        chk = new_chk
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iters} rounds"
+        )
+    # at the fixpoint every edge points at its component's min: (a → b=min)
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    roots = e.select(F.col("b").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    out = labels.union(roots)
+    if nodes is not None:
+        universe = nodes.select(F.col(node_col).alias("node")).distinct()
+        singles = universe.join(out.select("node"), "node", "left_anti").select(
+            "node", F.col("node").alias("label")
+        )
+        out = out.union(singles)
+    return out.groupBy("node").agg(F.min("label").alias("label"))

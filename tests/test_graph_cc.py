@@ -40,3 +40,48 @@ def test_bounded_rounds_raise(spark):
     # a 6-node chain has diameter 5 > max_iters=2 propagation budget
     with pytest.raises(RuntimeError, match="no fixpoint"):
         _cc(spark, [(i, i + 1) for i in range(1, 6)], max_iters=2)
+
+
+def _cc_star(spark, edges, nodes=None, **kw):
+    from crba_etl_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    n = (
+        spark.createDataFrame([(x,) for x in nodes], "node long")
+        if nodes is not None
+        else None
+    )
+    out = connected_components_star(e, nodes=n, **kw)
+    return {r.node: r.label for r in out.collect()}
+
+
+def test_star_handles_long_chain_in_log_rounds(spark):
+    """The seam the min-label docstring promises: a 120-node chain
+    (diameter 119) converges for large/small-star within a logarithmic
+    round budget where min-label propagation would need ~119 rounds."""
+    edges = [(i, i + 1) for i in range(1, 120)]
+    got = _cc_star(spark, edges, max_iters=12)
+    assert set(got.values()) == {1} and len(got) == 120
+
+
+def test_star_equivalent_to_label_propagation(spark):
+    """Both algorithms must produce the identical (node, component-min)
+    labeling on a deterministic pseudo-random multi-component graph,
+    including singletons from a wider universe."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"edge:{i}".encode()).hexdigest()[:8], 16)
+
+    edges = [(h(i) % 60, h(i + 1000) % 60) for i in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    universe = list(range(70))  # 60..69 untouched → singletons
+    a = _cc(spark, edges, nodes=universe)
+    b = _cc_star(spark, edges, nodes=universe)
+    assert a == b
+    assert all(b[x] == x for x in range(60, 70))
+
+
+def test_star_star_shaped_input_is_stable(spark):
+    got = _cc_star(spark, [(5, 1), (7, 1), (9, 1)])
+    assert got == {1: 1, 5: 1, 7: 1, 9: 1}
