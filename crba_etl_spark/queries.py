@@ -990,16 +990,23 @@ SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper
 FROM documents GROUP BY 1
 """
 
-_SQL_SHINGLES = """
+def _sql_shingles(src: str = "documents") -> str:
+    """The shingle CTE pair, parameterized over its document source so
+    compositions (e.g. near-dup dedup over a quality-FILTERED corpus)
+    reuse the identical shingling instead of forking it."""
+    return f"""
   pos AS (
     SELECT doc_id, text,
            unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
-    FROM documents
+    FROM {src}
   ),
   sh AS (
     SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM pos
   )
 """
+
+
+_SQL_SHINGLES = _sql_shingles()
 
 
 def q_ngram_jaccard_exact_baseline(spark, sf_dir):
@@ -1059,15 +1066,16 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     return text_dedup.minhash_lsh_candidates(load(spark, sf_dir, "documents"))
 
 
-def _sql_lsh_ctes():
+def _sql_lsh_ctes(src: str = "documents"):
     """Shared CTE chain: shingles → hashes → MinHash sig → LSH bands →
-    candidate pairs (used by the candidates query and the verify query)."""
+    candidate pairs (used by the candidates query, the verify query and
+    the curation composition — ``src`` swaps the document source)."""
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(concat_ws(':', s{4*b}, s{4*b+1}, s{4*b+2}, s{4*b+3})) AS band_hash FROM sig"
         for b in range(text_dedup.N_BANDS)
     )
-    return f"""{_SQL_SHINGLES}, {_sql_minhash_sig_cte()},
+    return f"""{_sql_shingles(src)}, {_sql_minhash_sig_cte()},
 bands AS (
 {bands}
 ),
@@ -1438,6 +1446,93 @@ keepers AS (
 )
 SELECT k.doc_id, keepers.text_md5, k.n_tokens, k.quality
 FROM kept k JOIN keepers ON k.doc_id = keepers.doc_id
+"""
+
+
+def q_curation_near_dup_pipeline(spark, sf_dir):
+    """The FULL curation composition — what `curation_pipeline` does
+    plus the near-duplicate stage every production corpus needs: quality
+    gate → exact dedup (lowest doc_id per content digest) → MinHash-LSH
+    candidates among the survivors → exact-Jaccard verification →
+    connected components → keep each near-dup group's minimum. Output:
+    the surviving corpus (doc_id, n_tokens, quality, group_id) where
+    every surviving doc is its own group's keeper (group_id == doc_id
+    by construction — emitted anyway so the lineage is visible). The
+    oracle replays the identical quality terms, the identical shingle/
+    band CTEs re-pointed at the FILTERED corpus (the parameterized
+    `_sql_shingles`), and a recursive-CTE transitive closure."""
+    from .operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    q = text_analysis.quality_score(docs)
+    scored = docs.join(q, "doc_id").filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    keepers = scored.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact_kept = scored.join(keepers.select("doc_id"), "doc_id")
+    pairs = text_dedup.jaccard_verify_pairs(
+        exact_kept,
+        text_dedup.minhash_lsh_candidates(exact_kept),
+        threshold=0.35,
+    )
+    cc = connected_components(
+        pairs, nodes=exact_kept.select(F.col("doc_id").alias("node"))
+    )
+    survivors = cc.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+    return exact_kept.join(survivors, "doc_id").select(
+        "doc_id", "n_tokens", "quality", "group_id"
+    )
+
+
+def _sql_curation_near_dup_pipeline():
+    return f"""
+WITH RECURSIVE t AS ({_SQL_QUALITY_T_CTE}),
+scored AS (
+  SELECT doc_id, text, n_tokens,
+         {_SQL_QUALITY_EXPR} AS quality
+  FROM t
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 5),
+keepers AS (
+  SELECT md5(text) AS text_md5, min(doc_id) AS doc_id FROM kept GROUP BY 1
+),
+exact_kept AS (
+  SELECT k.* FROM kept k JOIN keepers USING (doc_id)
+),
+{_sql_lsh_ctes("exact_kept")},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT doc_id AS node, doc_id AS root FROM exact_kept
+  UNION
+  SELECT s.b, w.root FROM walk w JOIN sym s ON s.a = w.node
+),
+comp AS (SELECT node, min(root) AS group_id FROM walk GROUP BY 1)
+SELECT e.doc_id, e.n_tokens, e.quality, comp.group_id
+FROM exact_kept e
+JOIN comp ON comp.node = e.doc_id AND comp.group_id = e.doc_id
 """
 
 
@@ -2331,6 +2426,10 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
+        "curation_near_dup_pipeline": (
+            q_curation_near_dup_pipeline,
+            _sql_curation_near_dup_pipeline(),
+        ),
         "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "interval_join_binned": (q_interval_join_binned, SQL_INTERVAL_JOIN_BINNED),
