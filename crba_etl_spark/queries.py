@@ -1122,6 +1122,27 @@ WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
 """
 
 
+def q_dedup_groups_star(spark, sf_dir):
+    """Same transitive near-dup grouping as `dedup_groups`, computed by
+    the large-star/small-star contraction instead of min-label
+    propagation — O(log n) rounds regardless of component diameter (the
+    variant for long-chain graphs). Sharing `dedup_groups`' oracle is
+    the point: the DuckDB recursive closure hash-checks that BOTH
+    algorithms produce the identical component labeling."""
+    from .operators.graph import connected_components_star
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = text_dedup.jaccard_verify_pairs(
+        docs, text_dedup.minhash_lsh_candidates(docs), threshold=0.35
+    )
+    cc = connected_components_star(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Incremental dedup — the shape a RUNNING ingestion pipeline needs:
     near-dup candidates of an incoming batch (the hash-split 20% 'new'
@@ -2417,6 +2438,7 @@ def registry() -> dict[str, tuple]:
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
         "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
         "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
+        "dedup_groups_star": (q_dedup_groups_star, _sql_dedup_groups()),
         "incremental_near_dup": (q_incremental_near_dup, _sql_incremental_near_dup()),
         "boilerplate_ngrams": (q_boilerplate_ngrams, _sql_boilerplate_ngrams()),
         "simhash": (q_simhash, _sql_simhash()),
