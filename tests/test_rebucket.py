@@ -186,6 +186,57 @@ def test_rebucket_resume_redoes_groups_invalidated_by_writes(spark, tmpdir_):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_rebucket_concurrent_commit_not_lost(spark, tmpdir_):
+    """Round-4 ADVICE (high): a commit landing between a group's base
+    read and the final swap must NOT be silently overwritten. The old
+    code re-snapshotted before the swap and CAS'd against that fresh
+    version without revalidating any group's base — the swap then
+    replaced the concurrent commit's files with rewrite output that
+    never read them and dropped its deltas. The fix revalidates every
+    group against the exact snapshot the swap CASes on, so the
+    concurrent epoch's rows survive the rebucket."""
+    stream = os.path.join(tmpdir_, "s")
+    generate_stream(
+        stream, StreamSpec(seed=23, n_events=3000, n_epochs=3, evolve_epoch=None)
+    )
+    eng = CDCEngine(spark, os.path.join(tmpdir_, "t"), n_buckets=4, mode="mor")
+    eng.replay(stream, epochs=[0, 1])
+    t = eng.table
+
+    # inject a concurrent writer: epoch 2 lands via a SECOND handle the
+    # moment the (single) rebucket group finishes its rewrite — i.e.
+    # after the group read its base, before any rebucket commit
+    injected = {"done": False}
+    orig_wm = t.write_merged
+
+    def racing(df, epoch, version, repartition=True):
+        files = orig_wm(df, epoch, version, repartition)
+        if epoch == -2 and not injected["done"]:
+            injected["done"] = True
+            other = CDCEngine(
+                spark, os.path.join(tmpdir_, "t"), n_buckets=4, mode="mor"
+            )
+            st = other.replay(stream, epochs=[2])
+            assert st["epochs_applied"] == [2]
+        return files
+
+    t.write_merged = racing
+    try:
+        snap = t.rebucket(spark, 8)
+    finally:
+        del t.write_merged
+
+    assert injected["done"]
+    assert snap["n_buckets"] == 8
+    assert 2 in set(snap["committed_epochs"])  # marker carried through
+    got = (
+        eng.read_final().orderBy("conv_id", "turn_idx", "ts")
+        .toPandas().reset_index(drop=True)
+    )
+    exp = oracle_final(stream).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_rebucket_keeps_tombstones_blocking_resurrection(spark, tmpdir_):
     eng = CDCEngine(spark, os.path.join(tmpdir_, "t"), n_buckets=2, mode="mor")
     eng.apply_epoch(make_events(spark, [
