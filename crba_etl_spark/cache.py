@@ -15,50 +15,81 @@ results it needs are materialized/written. Spark's own CacheManager
 already dedupes by analyzed plan, so re-invoking an operator on the
 same input does not grow the cache — the registry bounds lifetime, not
 multiplicity.
+
+Scoping (round-4 ADVICE low): registration is CONTEXT-scoped via a
+``contextvars.ContextVar`` — inside a :func:`tracked_caches` block the
+registry is private to that context (and to the thread that entered
+it: new threads start from a fresh context), so a ``release_caches``
+or context exit in one pipeline can never unpersist a relation a
+concurrently running pipeline registered. Outside any block, persists
+land in a lock-guarded process-global list, released by whoever calls
+:func:`release_caches` next — the documented single-pipeline default.
 """
 
 from __future__ import annotations
 
+import contextvars
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_LOCK = threading.Lock()
+_GLOBAL: list[DataFrame] = []
+# None ⇒ no enclosing tracked_caches block: use the global registry
+_REGISTRY: contextvars.ContextVar[list[DataFrame] | None] = contextvars.ContextVar(
+    "crba_tracked_caches", default=None
+)
 
 
-def persist_tracked(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for a later :func:`release_caches`."""
-    df = df.persist()
-    _LIVE.append(df)
-    return df
+def _current() -> list[DataFrame]:
+    reg = _REGISTRY.get()
+    return _GLOBAL if reg is None else reg
 
 
-def release_caches() -> int:
-    """Unpersist every tracked relation; returns how many were released.
-    Safe to call at any time — callers must simply not hold lazy results
-    that still depend on a released cache (they would silently recompute,
-    never fail)."""
-    n = len(_LIVE)
-    for df in _LIVE:
+def _unpersist_all(dfs: list[DataFrame]) -> int:
+    for df in dfs:
         try:
             df.unpersist()
         except Exception:
             pass  # session already gone — nothing to release
-    _LIVE.clear()
-    return n
+    return len(dfs)
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it with the CURRENT context's
+    registry for a later :func:`release_caches` / context exit."""
+    df = df.persist()
+    with _LOCK:
+        _current().append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every relation tracked in the CURRENT context (the
+    process-global registry when outside a :func:`tracked_caches`
+    block); returns how many were released. Safe to call at any time —
+    callers must simply not hold lazy results that still depend on a
+    released cache (they would silently recompute, never fail)."""
+    with _LOCK:
+        reg = _current()
+        dfs, reg[:] = list(reg), []
+    return _unpersist_all(dfs)
 
 
 @contextmanager
 def tracked_caches():
     """Scope tracked persists to a block: everything registered inside
-    is released on exit (after the block has materialized its results)."""
-    start = len(_LIVE)
+    is released on exit (after the block has materialized its results).
+    The block's registry is context-private — concurrent pipelines in
+    other threads/contexts are untouched by its exit or by their own
+    :func:`release_caches` calls."""
+    token = _REGISTRY.set([])
     try:
         yield
     finally:
-        for df in _LIVE[start:]:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        del _LIVE[start:]
+        reg = _REGISTRY.get()
+        _REGISTRY.reset(token)
+        with _LOCK:
+            dfs = list(reg or [])
+        _unpersist_all(dfs)

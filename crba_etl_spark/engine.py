@@ -15,6 +15,8 @@ whole-pipeline re-run idempotence.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import re
 import time
@@ -28,6 +30,18 @@ from .operators.merge import apply_delta_epoch, merge_epoch
 from .schema import TRANSCRIPT
 
 _EPOCH_DIR = re.compile(r"^epoch=(\d+)$")
+
+
+def _declared_files(events_dir: str, k: int) -> set[str] | None:
+    """The producer's epoch-complete declaration (``_DONE`` marker) — a
+    GET of a known key, never an eventually-consistent LIST. ``None``
+    means the epoch is still open (see streaming/tail.py, which shares
+    this contract)."""
+    try:
+        with open(os.path.join(events_dir, f"epoch={k}", "_DONE")) as f:
+            return set(json.load(f)["files"])
+    except FileNotFoundError:
+        return None
 
 
 def list_epochs(events_dir: str) -> list[int]:
@@ -258,14 +272,52 @@ class CDCEngine:
     ) -> dict:
         """Apply every epoch under ``events_dir/epoch=*`` in order,
         skipping already-committed ones (checkpoint resume). Returns a
-        replay summary with sustained apply throughput."""
+        replay summary with sustained apply throughput.
+
+        Epoch completeness is the producer's ``_DONE`` declaration, the
+        same contract the streaming tail honors (round-4 ADVICE): an
+        epoch enters ``committed_epochs`` — which makes every future
+        slice of it redundant by contract — only when the files applied
+        cover the declared set. An epoch directory with no ``_DONE``
+        (producer still writing) is applied as a content-addressed
+        SLICE with the epoch left open, so files landing later still
+        apply (by a later replay or the streaming tail) instead of
+        being permanently dropped. Files already applied by earlier
+        slices of an open epoch are not re-read."""
         epochs = epochs if epochs is not None else list_epochs(events_dir)
         t0 = time.monotonic()
         total_events = 0
         applied, skipped = [], []
         for k in epochs:
-            df = self.spark.read.parquet(os.path.join(events_dir, f"epoch={k}"))
-            st = self.apply_epoch(df, k)
+            d = os.path.join(events_dir, f"epoch={k}")
+            if k in self.table.committed_epochs():
+                skipped.append(k)
+                continue
+            listed = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            declared = _declared_files(events_dir, k)
+            prior = set(self.table.epoch_files().get(str(k), []))
+            todo = [f for f in listed if f not in prior]
+            complete = declared is not None and set(listed) | prior >= declared
+            if not todo:
+                if complete:
+                    # every declared file already landed via slices; only
+                    # the exactly-once marker is missing (late _DONE)
+                    self.table.mark_epoch_committed(k)
+                skipped.append(k)
+                continue
+            df = self.spark.read.parquet(*(os.path.join(d, f) for f in todo))
+            if complete:
+                st = self.apply_epoch(df, k, slice_files=todo)
+            else:
+                marker = "e%d:batch:%s" % (
+                    k,
+                    hashlib.sha1("\n".join(todo).encode()).hexdigest()[:16],
+                )
+                st = self.apply_epoch(
+                    df, k, slice_marker=marker, mark_epoch=False, slice_files=todo
+                )
             if st.get("skipped"):
                 skipped.append(k)
             else:

@@ -23,18 +23,55 @@ is why this function is the seam.
 Scale notes (100 TB): the edge relation is the LSH candidate output —
 already sub-quadratic; the join key is the node id (uniform hash
 distribution); every intermediate is (node, label) fixed-width rows.
-Per-round relations are persisted via the tracked cache and the
-previous round is released immediately, so the lineage and memory
-footprint stay O(1) in rounds.
+Each round is localCheckpoint-ed (truncating the otherwise
+exponentially-growing logical plan); the PREVIOUS round's checkpoint
+blocks are released explicitly the moment the next round is
+materialized (round-4 ADVICE: localCheckpoint blocks are not tracked
+by the CacheManager, so ``DataFrame.unpersist`` cannot free them and
+the ContextCleaner only reclaims them at JVM GC — the release here
+goes through ``getPersistentRDDs`` instead), so storage stays O(1) in
+rounds on a long-lived driver. The symmetrized edge relation is
+persisted via the tracked cache and freed by the caller's
+``cache.release_caches``.
 
 Reference analog: none — graft mandate (dedup family beyond SURVEY §2).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..cache import persist_tracked
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    return {
+        int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _release_blocks(spark: SparkSession, ids: set[int]) -> None:
+    """Free the checkpoint blocks of a finished round. Only ids this
+    loop observed appearing are passed in, so concurrent persists from
+    the same driver are never touched."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        if int(k) in ids:
+            jmap.get(k).unpersist()
+
+
+def _edge_checksum(df: DataFrame) -> tuple[int, int]:
+    """Order-insensitive edge-set fingerprint: (count, sum of per-edge
+    int32 hashes as long — never overflows, id-magnitude-safe under
+    ANSI). Probabilistic: equality is CONFIRMED exactly before any loop
+    trusts it (see connected_components_star)."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("a", "b").cast("long")).alias("s"),
+    ).collect()[0]
+    return (r["n"], r["s"])
 
 
 def connected_components(
@@ -65,7 +102,10 @@ def connected_components(
         universe = sym.select(F.col("a").alias("node")).distinct()
     else:
         universe = nodes.select(F.col(node_col).alias("node")).distinct()
+    spark = edges.sparkSession
     sym = persist_tracked(sym)
+    sym.count()  # materialize OUTSIDE the per-round id windows below, so
+    # its cache blocks are never attributed to (and freed with) a round
     # localCheckpoint (eager) both materializes the round AND truncates
     # the logical plan — without truncation each round's plan embeds the
     # previous round's whole tree several times over, and Catalyst
@@ -73,7 +113,9 @@ def connected_components(
     # star variant ground to a halt by round ~7 on a 120-node chain).
     # On a cluster, swap for reliable checkpoint() if executor loss
     # during the loop must be survivable.
+    before = _persistent_rdd_ids(spark)
     labels = universe.select("node", F.col("node").alias("label")).localCheckpoint()
+    prev_ids = _persistent_rdd_ids(spark) - before
     checksum = labels.agg(
         F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
@@ -81,18 +123,26 @@ def connected_components(
         msgs = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
         )
+        before = _persistent_rdd_ids(spark)
         new_labels = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
+        cur_ids = _persistent_rdd_ids(spark) - before
         new_checksum = new_labels.agg(
             F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
-        labels = new_labels
+        # the previous round is fully consumed (new round materialized):
+        # free its checkpoint blocks now — O(1) storage in rounds
+        _release_blocks(spark, prev_ids)
+        labels, prev_ids = new_labels, cur_ids
         if (new_checksum["s"], new_checksum["n"]) == (checksum["s"], checksum["n"]):
-            return labels  # fixpoint: no label changed this round
+            # labels are monotone non-increasing and the universe is
+            # fixed, so an unchanged sum at fixed count IS the exact
+            # fixpoint (no collision risk, unlike the star variant)
+            return labels
         checksum = new_checksum
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iters} rounds — "
@@ -151,30 +201,37 @@ def connected_components_star(
     clusters LSH dedup produces, plain min-label propagation converges
     in fewer total jobs. Cost per round: two grouped mins + two
     distincts over the (shrinking) edge set, all equi-shuffles on node
-    ids. Convergence = edge-set fixpoint, checked with a 2-value
-    checksum (count, sum of a·h+b) — labels-only, driver-tiny."""
+    ids. Convergence = edge-set fixpoint, screened with the 2-value
+    checksum then CONFIRMED exactly (round-4 VERDICT #5 / ADVICE: a
+    checksum collision could otherwise declare a false fixpoint and
+    emit non-minimal labels — the confirmation is one
+    ``exceptAll().limit(1)`` probe that runs only on checksum-match
+    rounds, i.e. once in the collision-free case)."""
+    spark = edges.sparkSession
+    before = _persistent_rdd_ids(spark)
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()  # truncate lineage per round — see the
     )                       # min-label loop for why this is load-bearing
+    prev_ids = _persistent_rdd_ids(spark) - before
 
-    def _checksum(df: DataFrame):
-        # order-insensitive set fingerprint: sum of per-edge int32
-        # hashes as long (never overflows; id-magnitude-safe under ANSI)
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.hash("a", "b").cast("long")).alias("s"),
-        ).collect()[0]
-        return (r["n"], r["s"])
-
-    chk = _checksum(e)
+    chk = _edge_checksum(e)
     for _ in range(max_iters):
+        before = _persistent_rdd_ids(spark)
         new_e = _small_star(_large_star(e)).localCheckpoint()
-        new_chk = _checksum(new_e)
-        e = new_e
-        if new_chk == chk:
+        cur_ids = _persistent_rdd_ids(spark) - before
+        new_chk = _edge_checksum(new_e)
+        # checksum equality screens; equal-size sets with an empty
+        # difference confirms (both sides are distinct'd, so set
+        # semantics hold and new ⊆ old at equal count ⇒ new == old)
+        converged = (
+            new_chk == chk and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        _release_blocks(spark, prev_ids)  # old round consumed (incl. by
+        e, prev_ids = new_e, cur_ids      # the confirmation probe above)
+        if converged:
             break
         chk = new_chk
     else:

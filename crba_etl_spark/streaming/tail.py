@@ -94,12 +94,12 @@ def stream_apply(
     )
 
     def _declared_files(k: int) -> set[str] | None:
-        """The producer's epoch-complete declaration — a GET, not a LIST."""
-        try:
-            with open(os.path.join(events_dir, f"epoch={k}", "_DONE")) as f:
-                return set(json.load(f)["files"])
-        except FileNotFoundError:
-            return None  # epoch still open: never mark it complete
+        """The producer's epoch-complete declaration — a GET, not a LIST.
+        Shared with the batch replay path (engine._declared_files), which
+        honors the same contract."""
+        from ..engine import _declared_files as declared
+
+        return declared(events_dir, k)
 
     def _sweep_open_epochs() -> None:
         """Promote every still-open epoch whose applied-file union now

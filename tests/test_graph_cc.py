@@ -85,3 +85,49 @@ def test_star_equivalent_to_label_propagation(spark):
 def test_star_star_shaped_input_is_stable(spark):
     got = _cc_star(spark, [(5, 1), (7, 1), (9, 1)])
     assert got == {1: 1, 5: 1, 7: 1, 9: 1}
+
+
+def test_star_survives_checksum_collisions(spark, monkeypatch):
+    """Round-4 VERDICT #5 / ADVICE low: the star loop's edge-set
+    checksum is probabilistic — a collision must NOT terminate the loop
+    early. Simulate the worst case (every round's checksum collides) and
+    assert the exact exceptAll confirmation still drives the loop to the
+    true fixpoint with correct labels."""
+    from crba_etl_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_edge_checksum", lambda df: (0, 0))
+    edges = [(i, i + 1) for i in range(1, 40)] + [(100, 101)]
+    got = _cc_star(spark, edges, max_iters=12)
+    assert set(got.items()) == (
+        {(i, 1) for i in range(1, 41)} | {(100, 100), (101, 100)}
+    )
+
+
+def test_cc_storage_is_o1_in_rounds(spark):
+    """Round-4 ADVICE low: each round's localCheckpoint blocks must be
+    freed when the next round materializes — a 30-round min-label run
+    (and a multi-round star run) may retain only the FINAL round plus
+    the tracked edge cache, not one block set per round."""
+    from crba_etl_spark.cache import release_caches
+    from crba_etl_spark.operators.graph import (
+        _persistent_rdd_ids,
+        connected_components,
+        connected_components_star,
+    )
+
+    release_caches()
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)], "id_a long, id_b long"
+    )
+    before = _persistent_rdd_ids(spark)
+    out = connected_components(e, max_iters=40)
+    assert {r.label for r in out.collect()} == {1}
+    retained = _persistent_rdd_ids(spark) - before
+    assert len(retained) <= 2, retained  # final labels + tracked sym cache
+
+    before = _persistent_rdd_ids(spark)
+    out = connected_components_star(e, max_iters=12)
+    assert {r.label for r in out.collect()} == {1}
+    retained = _persistent_rdd_ids(spark) - before
+    assert len(retained) <= 2, retained
+    release_caches()
