@@ -1182,6 +1182,48 @@ GROUP BY 1, 2
 """
 
 
+def q_incremental_dedup_groups(spark, sf_dir):
+    """The incremental-components step that completes the incremental
+    dedup story (round-4 VERDICT #6): the corpus is already labeled
+    (existing 80% slice, same md5 split as `incremental_near_dup`), a
+    batch arrives (the 20% slice), its near-dup pairs — new×existing
+    candidates PLUS new×new candidates, exact-Jaccard-verified — are
+    folded into the existing labeling with
+    ``merge_components`` (operators/graph.py): one broadcast-map pass
+    over the big labels table plus a components run over a condensed
+    graph of size O(|new pairs|), never a recompute over the union.
+    The oracle is the FULL-RECOMPUTE closure (`dedup_groups`' recursive
+    CTE verbatim), so the hash match proves incremental ≡ recompute —
+    including cross-batch chains where a new doc bridges two existing
+    components."""
+    from .operators.graph import connected_components, merge_components
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    existing = docs.filter(bucket < 80)
+    new = docs.filter(bucket >= 80)
+    ex_pairs = text_dedup.jaccard_verify_pairs(
+        existing, text_dedup.minhash_lsh_candidates(existing), threshold=0.35
+    )
+    labels = connected_components(
+        ex_pairs, nodes=existing.select(F.col("doc_id").alias("node"))
+    )
+    cand = text_dedup.incremental_lsh_candidates(new, existing).select(
+        F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
+    ).union(text_dedup.minhash_lsh_candidates(new).select("id_a", "id_b"))
+    new_pairs = text_dedup.jaccard_verify_pairs(docs, cand, threshold=0.35)
+    merged = merge_components(
+        labels, new_pairs, new_nodes=new.select(F.col("doc_id").alias("node"))
+    )
+    return merged.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Boilerplate mining: the character 5-grams shared by the most
     documents (document frequency ≥ 5), top 20 — the signal behind
@@ -2147,84 +2189,98 @@ BM25_TERMS = ("data", "model", "system")
 
 def q_bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval over the documents table (corpus search is
-    how curation teams FIND the data worth keeping/dropping): tokenize →
-    per-term document frequencies → idf = ln(1 + (N-df+0.5)/(df+0.5)) →
-    per-doc score with k1/b length normalization → top 15. Everything is
-    one declarative plan: explode for tokens, two map-side-combinable
-    aggs (term stats, doc lengths), a broadcast-size term-stats join
-    (|query terms| rows), and a top-k. No UDFs, no global window; the
-    only full-corpus pass is the tokenize+agg. Scores round(6) for
-    cross-engine double stability."""
+    how curation teams FIND the data worth keeping/dropping), as ONE
+    declarative plan — round-4 VERDICT #4: the previous form collected
+    ``n_docs``/``avgdl`` driver-side mid-query, so the corpus-wide
+    tokenize+agg pass ran twice across three Spark jobs. Now: tokenize →
+    a single per-doc aggregate carrying doc length AND one conditional
+    tf counter per (fixed, tiny) query-term list → corpus stats
+    (N, avgdl, per-term df) as a 1-row aggregate folded back in via
+    ``crossJoin(F.broadcast(...))`` (the queries.py:147 shape) → score →
+    top-15. The per-doc aggregate's shuffle is identical in the stats
+    branch and the scoring branch, so Spark's exchange reuse runs the
+    tokenize subtree ONCE; no UDFs, no global window, no driver scalars.
+    Scores round(6) for cross-engine double stability."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
-    tf = (
-        toks.filter(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("tok") != "", 1).otherwise(0)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
     )
-    scored = (
-        tf.join(F.broadcast(df_), "tok")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            (
-                idf
-                * (F.col("tf") * (BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
-                )
-            ).alias("term_score"),
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    any_term = None
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        tf, dfq = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n") - dfq + 0.5) / (dfq + 0.5))
+        norm = tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        score = score + F.when(tf > 0, idf * (tf * (BM25_K1 + 1)) / norm).otherwise(
+            0.0
         )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        any_term = (tf > 0) if any_term is None else (any_term | (tf > 0))
+    scored = (
+        per_doc.filter(any_term)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(15)
 
 
 def _sql_bm25_topk():
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf_cols = ",\n         ".join(
+        f"count(*) FILTER (WHERE tok = '{t}') AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    term_scores = "\n       + ".join(
+        f"""CASE WHEN tf_{i} > 0 THEN
+             ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))
+             * (tf_{i} * ({BM25_K1} + 1))
+             / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+           ELSE 0.0 END"""
+        for i in range(len(BM25_TERMS))
+    )
+    any_term = " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_TERMS)))
     return f"""
 WITH toks AS (
-  SELECT doc_id, tok
-  FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-    FROM documents
-  ) WHERE tok <> ''
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
 ),
-dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-stats AS (SELECT count(*) AS n, (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
-tf AS (
-  SELECT doc_id, tok, count(*) AS tf FROM toks
-  WHERE tok IN ({terms}) GROUP BY 1, 2
+per_doc AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE tok <> '') AS dl,
+         {tf_cols}
+  FROM toks GROUP BY 1
 ),
-dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc
+),
 scored AS (
-  SELECT tf.doc_id,
-         sum(
-           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * (tf.tf * ({BM25_K1} + 1))
-           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
-         ) AS s
-  FROM tf
-  JOIN dfreq USING (tok)
-  JOIN dl ON dl.doc_id = tf.doc_id, stats
-  GROUP BY 1
+  SELECT doc_id,
+         ({term_scores}) AS s
+  FROM per_doc, stats
+  WHERE {any_term}
 )
 SELECT doc_id, round(s, 6) AS bm25
-FROM scored ORDER BY s DESC, doc_id LIMIT 15
+FROM scored ORDER BY round(s, 6) DESC, doc_id LIMIT 15
 """
 
 
@@ -2440,6 +2496,8 @@ def registry() -> dict[str, tuple]:
         "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
         "dedup_groups_star": (q_dedup_groups_star, _sql_dedup_groups()),
         "incremental_near_dup": (q_incremental_near_dup, _sql_incremental_near_dup()),
+        # incremental ≡ full recompute: same closure oracle as dedup_groups
+        "incremental_dedup_groups": (q_incremental_dedup_groups, _sql_dedup_groups()),
         "boilerplate_ngrams": (q_boilerplate_ngrams, _sql_boilerplate_ngrams()),
         "simhash": (q_simhash, _sql_simhash()),
         "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_near_pairs()),

@@ -103,6 +103,56 @@ def test_star_survives_checksum_collisions(spark, monkeypatch):
     )
 
 
+def _merge(spark, labels, new_edges, new_nodes=None):
+    from crba_etl_spark.operators.graph import merge_components
+
+    lab = spark.createDataFrame(list(labels.items()), "node long, label long")
+    e = spark.createDataFrame(new_edges, "id_a long, id_b long")
+    n = (
+        spark.createDataFrame([(x,) for x in new_nodes], "node long")
+        if new_nodes is not None
+        else None
+    )
+    out = merge_components(lab, e, new_nodes=n)
+    return {r.node: r.label for r in out.collect()}
+
+
+def test_merge_components_cross_batch_chain(spark):
+    """Round-4 VERDICT #6: new pairs bridging several existing
+    components (via a brand-new node) must merge them all to the union
+    minimum — and match a full recompute over the union graph."""
+    from crba_etl_spark.operators.graph import connected_components
+
+    old_edges = [(1, 2), (5, 6), (10, 11)]
+    labels = {1: 1, 2: 1, 5: 5, 6: 5, 10: 10, 11: 10, 20: 20}
+    # new node 100 chains components {1,2} and {5,6} together; (11, 100)
+    # extends the chain to {10,11}; 30-31 is a brand-new pair
+    new_edges = [(2, 100), (100, 6), (11, 100), (30, 31)]
+    got = _merge(spark, labels, new_edges, new_nodes=[100, 30, 31, 40])
+    e = spark.createDataFrame(
+        old_edges + new_edges, "id_a long, id_b long"
+    )
+    n = spark.createDataFrame(
+        [(x,) for x in list(labels) + [100, 30, 31, 40]], "node long"
+    )
+    full = {r.node: r.label for r in connected_components(e, nodes=n).collect()}
+    assert got == full
+    assert got[100] == 1 and got[10] == 1 and got[5] == 1  # chain closed
+    assert got[20] == 20 and got[40] == 40  # untouched / singleton batch node
+
+
+def test_merge_components_new_min_from_batch(spark):
+    """A new node with a smaller id than every existing label must
+    become the merged component's canonical label."""
+    got = _merge(spark, {5: 5, 6: 5}, [(0, 6)], new_nodes=[0])
+    assert got == {0: 0, 5: 0, 6: 0}
+
+
+def test_merge_components_no_edges(spark):
+    got = _merge(spark, {1: 1, 2: 1}, [], new_nodes=[9])
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
 def test_cc_storage_is_o1_in_rounds(spark):
     """Round-4 ADVICE low: each round's localCheckpoint blocks must be
     freed when the next round materializes — a 30-round min-label run

@@ -100,6 +100,7 @@ def test_plan_invariants_and_regenerate_plans_md(spark):
         "snapshot_diff_events",  # half-max-LSN cutoff (1-row agg)
         "cosine_topk",           # the query vector (1 row)
         "ann_ivf_topk",          # cosine_topk within the probed cells
+        "bm25_topk",             # corpus stats (1-row agg, round-4 VERDICT #4)
     }
     # the exact all-pairs cosine baseline is the ONLY registry query
     # allowed a data×data nested-loop join (it is the recall oracle; the
@@ -116,6 +117,16 @@ def test_plan_invariants_and_regenerate_plans_md(spark):
     GLOBAL_WINDOW_OK = {
         "pack_contiguous",  # the per-shard oracle of pack_sharded
     }
+    # --- BM25 is ONE plan with the tokenize subtree executed once: the
+    # per-doc aggregate's exchange is shared between the corpus-stats
+    # branch and the scoring branch (round-4 VERDICT #4 replaced two
+    # driver-side collects that re-ran the tokenize pass). Exchange
+    # reuse is an AQE runtime decision, so assert on the EXECUTED plan.
+    bm = Q.q_bm25_topk(spark, SF)
+    bm.collect()
+    executed = bm._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
     for qname, (qfn, _sql) in Q.registry().items():
         p = plan_of(qfn(spark, SF))
         if unpartitioned_win.search(p):
