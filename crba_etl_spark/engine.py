@@ -65,6 +65,8 @@ class CDCEngine:
         compact_every: int | None = None,
         max_deltas_per_bucket: int = 16,
         max_delta_bytes_per_bucket: int | None = None,
+        lsh_index: bool = False,
+        lsh_text_col: str = "text",
     ):
         """``mode`` picks the apply strategy (both yield identical final
         state; both are tested against the same oracle):
@@ -93,6 +95,14 @@ class CDCEngine:
           complete the moment k commits (COW mode audits eagerly for free —
           the merge join already sees both sides).
         - ``False``: off.
+
+        ``lsh_index=True`` maintains the persisted MinHash band index
+        (band_index.py) over ``lsh_text_col``: each epoch's band rows are
+        written alongside the delta files and recorded in the SAME
+        snapshot commit, so incremental near-dup candidate generation
+        against the ingested corpus reads only the index — O(batch) per
+        batch, independent of corpus size. Costs one extra shingle pass
+        over the batch per epoch.
         """
         assert mode in ("mor", "cow")
         if quarantine is True:
@@ -110,6 +120,12 @@ class CDCEngine:
         )
         self.metrics_dir = os.path.join(table_root, "metrics")
         self._applied_since_compact = 0
+        if lsh_index:
+            from .band_index import LshBandIndex
+
+            self.lsh_index = LshBandIndex(self.table, text_col=lsh_text_col)
+        else:
+            self.lsh_index = None
 
     # --- single-epoch apply --------------------------------------------------
 
@@ -197,29 +213,57 @@ class CDCEngine:
             if (self.quarantine == "eager" or self.mode == "cow")
             else None
         )
-        if self.mode == "mor":
-            stats = apply_delta_epoch(
-                self.spark,
-                self.table,
-                reduced,
-                epoch,
-                quarantine_dir=eager_dir,
-                pre_partitioned=True,
-                slice_marker=slice_marker,
-                mark_epoch=mark_epoch,
-                slice_files=slice_files,
+        aux_add = None
+        persisted = None
+        if self.lsh_index is not None:
+            # the batch feeds two consumers now (band rows + apply), so
+            # pin it once instead of recomputing the reduce shuffle;
+            # index files hit disk BEFORE the commit that references them
+            # (a failed commit leaves an orphan dir, swept by expiry)
+            persisted = reduced.persist()
+            import uuid
+
+            # unique per attempt: a deterministic tag could collide with
+            # a COMMITTED dir on raced redelivery and rmtree files the
+            # snapshot references; an abandoned attempt's dir is just an
+            # unreferenced orphan (expire_snapshots sweeps it)
+            tag = f"e{epoch:06d}-{uuid.uuid4().hex[:8]}"
+            from .band_index import AUX_NAME
+
+            band_files = self.lsh_index.write_epoch(
+                self.lsh_index.rows_for(persisted, epoch), tag
             )
-        else:
-            stats = merge_epoch(
-                self.spark,
-                self.table,
-                reduced,
-                epoch,
-                quarantine_dir=eager_dir,
-                slice_marker=slice_marker,
-                mark_epoch=mark_epoch,
-                slice_files=slice_files,
-            )
+            aux_add = {AUX_NAME: band_files}
+            reduced = persisted
+        try:
+            if self.mode == "mor":
+                stats = apply_delta_epoch(
+                    self.spark,
+                    self.table,
+                    reduced,
+                    epoch,
+                    quarantine_dir=eager_dir,
+                    pre_partitioned=True,
+                    slice_marker=slice_marker,
+                    mark_epoch=mark_epoch,
+                    slice_files=slice_files,
+                    aux_add=aux_add,
+                )
+            else:
+                stats = merge_epoch(
+                    self.spark,
+                    self.table,
+                    reduced,
+                    epoch,
+                    quarantine_dir=eager_dir,
+                    slice_marker=slice_marker,
+                    mark_epoch=mark_epoch,
+                    slice_files=slice_files,
+                    aux_add=aux_add,
+                )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         if not stats.get("skipped"):
             stats["events_in"] = int(obs.get["events_in"])
             if slice_marker is not None:

@@ -258,6 +258,12 @@ class IceliteTable:
         epoch is incomplete; marking the epoch committed drops it."""
         return {k: list(v) for k, v in self.snapshot().get("epoch_files", {}).items()}
 
+    def aux(self) -> dict:
+        """Auxiliary engine-maintained artifacts recorded in the live
+        snapshot: name → {"files": [relative paths], ...}. See
+        band_index.py for the LSH band index that uses this."""
+        return {k: dict(v) for k, v in self.snapshot().get("aux", {}).items()}
+
     def last_committed_epoch(self) -> int | None:
         eps = self.snapshot()["committed_epochs"]
         return max(eps) if eps else None
@@ -276,6 +282,7 @@ class IceliteTable:
         epoch_files=None,
         expected_current=None,
         rebucket_progress=None,
+        aux=None,
     ):
         snap = {
             "version": version,
@@ -304,6 +311,14 @@ class IceliteTable:
             # read, so a crashed/conflicted rebucket resumes instead of
             # restarting O(table)
             snap["rebucket_progress"] = rebucket_progress
+        if aux:
+            # engine-maintained auxiliary artifacts (e.g. the LSH band
+            # index, band_index.py): name -> {"files": [relpaths], ...}.
+            # Committed in the SAME atomic pointer swap as the data, so
+            # an index can never reference rows the table doesn't hold
+            # (or miss rows it does). Append-only across commits; every
+            # snapshot-writing path carries it forward.
+            snap["aux"] = aux
         name = f"snapshot-{version:06d}.json"
         # the atomic commit point: data + schema + epoch marker become
         # visible in one conditional pointer swap (see LocalManifestIO
@@ -482,6 +497,7 @@ class IceliteTable:
                     slices=snap.get("slices", []),
                     epoch_files=efiles,
                     rebucket_progress=snap.get("rebucket_progress"),
+                    aux=snap.get("aux"),
                     expected_current=f"snapshot-{snap['version']:06d}.json",
                 )
             except CommitConflict:
@@ -500,6 +516,7 @@ class IceliteTable:
         mark_epoch: bool = True,
         base_snapshot: dict | None = None,
         slice_files: list[str] | None = None,
+        aux_add: dict[str, list[str]] | None = None,
     ) -> dict:
         """Copy-on-write commit: swap in the new files for affected
         buckets (absorbing any deltas they had), carry over the rest,
@@ -560,6 +577,7 @@ class IceliteTable:
                     slices=slices,
                     epoch_files=efiles,
                     rebucket_progress=snap.get("rebucket_progress"),
+                    aux=self._merged_aux(snap, aux_add),
                     expected_current=f"snapshot-{snap['version']:06d}.json",
                 )
             except CommitConflict:
@@ -584,6 +602,21 @@ class IceliteTable:
             efiles.pop(str(epoch), None)
         return efiles
 
+    @staticmethod
+    def _merged_aux(snap: dict, aux_add: dict | None) -> dict:
+        """The snapshot's aux section with this commit's additions folded
+        in: ``aux_add`` maps artifact name → list of new relative file
+        paths (appended, deduplicated). Computed INSIDE the CAS retry
+        loop from the fresh snapshot, so a lost race re-appends against
+        whatever the winner recorded. The skip path (_already_committed)
+        never reaches this — a redelivered epoch adds no index files,
+        keeping the aux artifact exactly-once alongside the data."""
+        aux = {k: dict(v) for k, v in snap.get("aux", {}).items()}
+        for name, fl in (aux_add or {}).items():
+            ent = aux.setdefault(name, {"files": []})
+            ent["files"] = sorted(set(ent.get("files", [])) | set(fl))
+        return aux
+
     def commit_deltas(
         self,
         epoch: int,
@@ -593,6 +626,7 @@ class IceliteTable:
         slice_marker: str | None = None,
         mark_epoch: bool = True,
         slice_files: list[str] | None = None,
+        aux_add: dict[str, list[str]] | None = None,
     ) -> dict:
         """Merge-on-read commit: append the epoch's delta files to each
         touched bucket; nothing is rewritten. Apply cost is O(batch).
@@ -623,6 +657,7 @@ class IceliteTable:
                     slices=slices,
                     epoch_files=efiles,
                     rebucket_progress=snap.get("rebucket_progress"),
+                    aux=self._merged_aux(snap, aux_add),
                     expected_current=f"snapshot-{snap['version']:06d}.json",
                 )
             except CommitConflict:
@@ -737,6 +772,7 @@ class IceliteTable:
                         deltas={},
                         slices=cur.get("slices", []),
                         epoch_files=cur.get("epoch_files", {}),
+                        aux=cur.get("aux"),
                         expected_current=f"snapshot-{cur['version']:06d}.json",
                     )
                 except CommitConflict:
@@ -786,6 +822,7 @@ class IceliteTable:
                             "to": int(new_n_buckets),
                             "groups": groups_done,
                         },
+                        aux=cur.get("aux"),
                         expected_current=f"snapshot-{cur['version']:06d}.json",
                     )
                 except CommitConflict:
@@ -828,6 +865,21 @@ class IceliteTable:
             if d not in referenced:
                 shutil.rmtree(os.path.join(data_dir, d))
                 removed_dirs.append(d)
+        # aux artifacts (index/<name>/<dir>/...): dirs referenced by no
+        # surviving snapshot's aux section are crashed-commit orphans
+        aux_ref: set[str] = set()
+        for name in keep:
+            for ent in self.io.read_manifest(name).get("aux", {}).values():
+                # relpath shape index/<name>/<dir>/part-*.parquet
+                aux_ref.update("/".join(p.split("/")[:3]) for p in ent.get("files", []))
+        idx_root = os.path.join(self.root, "index")
+        if os.path.isdir(idx_root):
+            for nm in sorted(os.listdir(idx_root)):
+                for d in sorted(os.listdir(os.path.join(idx_root, nm))):
+                    rel = f"index/{nm}/{d}"
+                    if rel not in aux_ref:
+                        shutil.rmtree(os.path.join(idx_root, nm, d))
+                        removed_dirs.append(rel)
         return {"expired_snapshots": removed_snaps, "removed_data_dirs": removed_dirs}
 
     def compact(
@@ -905,6 +957,7 @@ class IceliteTable:
             slices=snap.get("slices", []),
             epoch_files=snap.get("epoch_files", {}),
             rebucket_progress=snap.get("rebucket_progress"),
+            aux=snap.get("aux"),
             # maintenance op: a CommitConflict escapes to the caller,
             # who re-reads and re-runs (the rewritten data dir would be
             # stale after a concurrent commit anyway)

@@ -85,6 +85,7 @@ def merge_epoch(
     slice_marker: str | None = None,
     mark_epoch: bool = True,
     slice_files: list[str] | None = None,
+    aux_add: dict[str, list[str]] | None = None,
 ) -> dict:
     """Apply one reduced batch (one row per key) to the table; commit
     atomically with the epoch marker. Returns apply stats.
@@ -143,7 +144,7 @@ def merge_epoch(
                 return _merge_attempt(
                     spark, table, batch, snap, epoch, affected, evolved,
                     payload_cols, key_cols, n_buckets, quarantine_dir,
-                    slice_marker, mark_epoch, slice_files, t0,
+                    slice_marker, mark_epoch, slice_files, aux_add, t0,
                 )
             except CommitConflict:
                 # a concurrent commit touched an affected bucket: our
@@ -172,6 +173,7 @@ def _merge_attempt(
     slice_marker: str | None,
     mark_epoch: bool,
     slice_files: list[str] | None,
+    aux_add: dict[str, list[str]] | None,
     t0: float,
 ) -> dict:
     """One COW merge attempt against the pinned base ``snap``. Raises
@@ -267,6 +269,7 @@ def _merge_attempt(
         mark_epoch=mark_epoch,
         base_snapshot=snap,
         slice_files=slice_files,
+        aux_add=aux_add,
     )
     return stats
 
@@ -281,6 +284,7 @@ def apply_delta_epoch(
     slice_marker: str | None = None,
     mark_epoch: bool = True,
     slice_files: list[str] | None = None,
+    aux_add: dict[str, list[str]] | None = None,
 ) -> dict:
     """Merge-on-read apply (the sustained-throughput path): write the
     reduced batch as per-bucket **delta files** and commit — nothing in
@@ -383,5 +387,6 @@ def apply_delta_epoch(
         slice_marker=slice_marker,
         mark_epoch=mark_epoch,
         slice_files=slice_files,
+        aux_add=aux_add,
     )
     return stats

@@ -1182,6 +1182,40 @@ GROUP BY 1, 2
 """
 
 
+def q_lsh_index_candidates(spark, sf_dir):
+    """Incremental dedup against the ENGINE-MAINTAINED band index
+    (round-4 VERDICT #3 — the piece that makes `incremental_near_dup`
+    truly O(batch) at 100 TB): the existing 80% slice is ingested into
+    an icelite table with its MinHash band table written in the SAME
+    atomic snapshot commit (band_index.py, snap["aux"]["lsh_bands"]);
+    candidates for the incoming 20% batch then come from one shingle
+    pass over the BATCH plus an equi-join against the persisted band
+    files — the existing corpus' text is never re-read or re-shingled
+    (plan-asserted in tests/test_band_index.py). The oracle recomputes
+    both sides from text, so the hash match proves the persisted index
+    holds exactly the bands fresh computation yields."""
+    import tempfile
+
+    from . import band_index
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    existing = docs.filter(bucket < 80)
+    new = docs.filter(bucket >= 80)
+    root = tempfile.mkdtemp(prefix="crba_lshidx_")
+    _table, index = band_index.ingest_documents(spark, root, existing)
+    id_type = docs.schema["doc_id"].dataType
+    return (
+        index.candidates(spark, new)
+        .withColumn("existing_id", F.col("existing_id").cast(id_type))
+        .select("new_id", "existing_id", "n_shared_bands")
+    )
+
+
 def q_incremental_dedup_groups(spark, sf_dir):
     """The incremental-components step that completes the incremental
     dedup story (round-4 VERDICT #6): the corpus is already labeled
@@ -2488,13 +2522,15 @@ def registry() -> dict[str, tuple]:
         "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
         "pack_sharded": (q_pack_sharded, SQL_PACK_SHARDED),
         "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
-        "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
         "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
         "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
         "incremental_near_dup": (q_incremental_near_dup, _sql_incremental_near_dup()),
+        # engine-maintained band index ≡ fresh recompute: same oracle as
+        # incremental_near_dup (the index must hold exactly those bands)
+        "lsh_index_candidates": (q_lsh_index_candidates, _sql_incremental_near_dup()),
         # incremental ≡ full recompute: same closure oracle as dedup_groups
         "incremental_dedup_groups": (q_incremental_dedup_groups, _sql_dedup_groups()),
         "boilerplate_ngrams": (q_boilerplate_ngrams, _sql_boilerplate_ngrams()),
@@ -2523,6 +2559,7 @@ def registry() -> dict[str, tuple]:
         # Redundant twins / intermediates / labeled baselines: no driver
         # row, but replica-oracled every pytest run.
         "dedup_exact_events": (q_dedup_exact_events, SQL_DEDUP_EXACT_EVENTS),
+        "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "hierarchy_rollup": (q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP),
         "rollup_order_stats": (q_rollup_order_stats, SQL_ROLLUP_ORDER_STATS),
         "scale_inverted_log": (q_scale_inverted_log, SQL_SCALE_INVERTED_LOG),
