@@ -429,7 +429,19 @@ def full_bench() -> None:
                 aborted_mid = True
                 break
         replay_wall = round(time.monotonic() - t0, 3)
+        # post-probe: detects a wave that hit MID-run. A wave that starts
+        # AFTER the last epoch also trips a single probe — a false
+        # reject (the run's own dispersion already witnesses the run was
+        # clean; observed: attempts with spread 1.6-1.8 rejected on
+        # post=1.40 alone). Re-sample up to 3x spaced 20s and take the
+        # min: a post-run wave passes, while a wave that genuinely
+        # overlapped the run still shows in the dispersion/trend gates.
         post = host_noise_ratio()
+        for _ in range(2):
+            if post <= noise_max:
+                break
+            time.sleep(20)
+            post = min(post, host_noise_ratio())
         # BASELINE.json's metric is SUSTAINED apply events/sec; the
         # median of per-epoch rates is the sustained estimator,
         # TREND-GATED (round-2 ADVICE): an engine-wide regression
