@@ -148,6 +148,158 @@ class LshBandIndex:
         )
 
 
+#: aux-section name of the incremental near-dup group labels
+LABELS_AUX = "dedup_labels"
+
+LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("__epoch", T.LongType()),
+    ]
+)
+
+
+class DedupLabels:
+    """Near-duplicate GROUP LABELS maintained incrementally at epoch
+    commit — the full dedup pipeline inside the exactly-once ingest
+    loop: batch → candidates from the persisted band index (new×existing)
+    plus an in-batch LSH self-join (new×new) → exact-Jaccard verification
+    against current text → ``merge_components_delta`` fold into the
+    persisted labeling.
+
+    Storage is icelite-MOR-shaped: per-epoch parquet deltas of ONLY the
+    rows whose label is new or changed, recorded in the snapshot aux
+    section (same atomic CAS as the data and the band index); reads
+    resolve latest-per-node by ``__epoch``. Per-batch cost: the corpus
+    appears only as (a) the band-file equi-join (no re-shingling), (b) a
+    bucket-PRUNED text scan of just the candidate partners for
+    verification, and (c) streamed broadcast probes of the labels
+    relation inside ``merge_components_delta`` — no corpus shuffle, no
+    corpus rewrite.
+
+    Semantics: labels are the canonical min-labeling; groups are
+    MONOTONE (an update to a member's text can add edges, never remove
+    them — splitting groups requires a full recompute, the standard
+    incremental-dedup trade-off). Tombstoned docs keep their last label;
+    downstream keeper-selection joins drop them naturally.
+    """
+
+    def __init__(
+        self, table: IceliteTable, index: LshBandIndex, threshold: float = 0.35
+    ):
+        self.table = table
+        self.index = index
+        self.threshold = threshold
+
+    def files(self) -> list[str]:
+        return list(
+            self.table.snapshot().get("aux", {}).get(LABELS_AUX, {}).get("files", [])
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Resolved labeling: latest row per node across epoch deltas."""
+        paths = [os.path.join(self.table.root, p) for p in self.files()]
+        if not paths:
+            return spark.createDataFrame([], LABELS_SCHEMA).select("node", "label")
+        return (
+            spark.read.schema(LABELS_SCHEMA)
+            .parquet(*paths)
+            .groupBy("node")
+            .agg(F.expr("max_by(label, __epoch)").alias("label"))
+        )
+
+    def _batch_docs(self, batch: DataFrame) -> DataFrame:
+        if "op" in batch.columns:
+            batch = batch.filter(F.col("op") != "D")
+        return batch.select(
+            F.concat_ws("#", *self.table.key_cols()).alias("doc_id"),
+            F.col(self.index.text_col).alias("text"),
+        ).filter(F.col("text").isNotNull())
+
+    def delta_for_epoch(
+        self, spark: SparkSession, batch: DataFrame, epoch: int
+    ) -> DataFrame:
+        """Label-delta rows (node, label, __epoch) this batch causes.
+        Must run against the PRE-commit snapshot (the index/labels as of
+        the previous epoch — the batch's own band rows join the snapshot
+        only with this epoch's commit)."""
+        from .operators.graph import merge_components_delta
+        from .operators.text_dedup import (
+            jaccard_verify_pairs,
+            minhash_lsh_candidates,
+        )
+
+        bd = self._batch_docs(batch)
+        prev = self.read(spark)
+        nx = (
+            self.index.candidates(spark, bd)
+            .filter(F.col("new_id") != F.col("existing_id"))
+            .select(F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b"))
+        )
+        nn = minhash_lsh_candidates(bd).select("id_a", "id_b")
+        cand = persist_tracked(nx.union(nn).distinct())
+        ids = (
+            cand.select(F.col("id_a").alias("doc_id"))
+            .union(cand.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        # verification corpus: batch text (an updated doc verifies
+        # against its CURRENT text) + candidate partners' stored text,
+        # scanned only in the buckets the partners live in (distinct
+        # bucket ids are <= n_buckets — a tiny driver collect, same
+        # precedent as the COW merge's affected-bucket pruning)
+        kc = self.table.key_cols()
+        ftype = self.table.schema()[kc[0]].dataType
+        conv = (
+            F.substring_index(F.col("doc_id"), "#", 1)
+            if len(kc) > 1
+            else F.col("doc_id")
+        ).cast(ftype)
+        buckets = {
+            r[0]
+            for r in ids.select(
+                F.pmod(F.hash(conv), F.lit(self.table.n_buckets()))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        batch_ids = bd.select("doc_id")
+        ex_docs = (
+            self.table.read_resolved(spark, buckets=buckets)
+            .filter(~F.col("__deleted"))
+            .select(
+                F.concat_ws("#", *kc).alias("doc_id"),
+                F.col(self.index.text_col).alias("text"),
+            )
+            .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        )
+        docs_v = bd.union(ex_docs).join(F.broadcast(ids), "doc_id")
+        pairs = jaccard_verify_pairs(docs_v, cand, threshold=self.threshold)
+        delta = merge_components_delta(
+            prev, pairs, new_nodes=bd.select(F.col("doc_id").alias("node"))
+        )
+        return delta.withColumn("__epoch", F.lit(epoch).cast("long"))
+
+    def write_epoch(self, rows: DataFrame, tag: str) -> list[str]:
+        """Same write/orphan protocol as :meth:`LshBandIndex.write_epoch`
+        under ``index/dedup_labels/<tag>``."""
+        rel = f"index/dedup_labels/{tag}"
+        out = os.path.join(self.table.root, rel)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        (
+            rows.repartition(self.table.n_buckets(), F.col("node"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        return sorted(
+            f"{rel}/{f}" for f in os.listdir(out) if f.endswith(".parquet")
+        )
+
+
 def ingest_documents(
     spark: SparkSession,
     root: str,
@@ -155,27 +307,38 @@ def ingest_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 8,
+    dedup_labels: bool = False,
+    epoch: int = 0,
+    table: IceliteTable | None = None,
 ) -> tuple[IceliteTable, LshBandIndex]:
     """Create an icelite table keyed by ``id_col`` from a documents
-    relation and ingest it as epoch 0 with the band index maintained in
+    relation and ingest it as one epoch with the band index (and, with
+    ``dedup_labels=True``, the incremental group labeling) maintained in
     the same atomic commit — the corpus-bootstrap path (and the fixture
-    for the ``lsh_index_candidates`` registry query)."""
+    for the ``lsh_index_candidates`` / ``engine_dedup_labels`` registry
+    queries). Pass the returned ``table`` back in to apply FURTHER
+    epochs incrementally."""
     from .operators.merge import apply_delta_epoch
 
-    payload = T.StructType(
-        [f for f in docs.schema.fields if f.name in (id_col, text_col)]
-    )
-    table = IceliteTable.create(
-        root, payload, n_buckets=n_buckets, key_cols=[id_col], overwrite=True
-    )
+    if table is None:
+        payload = T.StructType(
+            [f for f in docs.schema.fields if f.name in (id_col, text_col)]
+        )
+        table = IceliteTable.create(
+            root, payload, n_buckets=n_buckets, key_cols=[id_col], overwrite=True
+        )
     # deterministic lsn: documents are unique per id, any constant works
     batch = docs.select(id_col, text_col).withColumns(
-        {"op": F.lit("U"), "lsn": F.lit(0).cast("long")}
+        {"op": F.lit("U"), "lsn": F.lit(epoch).cast("long")}
     )
     index = LshBandIndex(table, text_col=text_col)
-    band_files = index.write_epoch(index.rows_for(batch, epoch=0), "e000000")
-    apply_delta_epoch(
-        spark, table, batch, epoch=0, aux_add={AUX_NAME: band_files}
-    )
+    tag = f"e{epoch:06d}"
+    aux_add = {AUX_NAME: index.write_epoch(index.rows_for(batch, epoch), tag)}
+    if dedup_labels:
+        labels = DedupLabels(table, index)
+        aux_add[LABELS_AUX] = labels.write_epoch(
+            labels.delta_for_epoch(spark, batch, epoch), tag
+        )
+    apply_delta_epoch(spark, table, batch, epoch=epoch, aux_add=aux_add)
     release_caches()
     return table, index

@@ -67,6 +67,7 @@ class CDCEngine:
         max_delta_bytes_per_bucket: int | None = None,
         lsh_index: bool = False,
         lsh_text_col: str = "text",
+        dedup_labels: bool = False,
     ):
         """``mode`` picks the apply strategy (both yield identical final
         state; both are tested against the same oracle):
@@ -103,6 +104,13 @@ class CDCEngine:
         against the ingested corpus reads only the index — O(batch) per
         batch, independent of corpus size. Costs one extra shingle pass
         over the batch per epoch.
+
+        ``dedup_labels=True`` (implies ``lsh_index``) additionally folds
+        each batch into the persisted near-dup GROUP labeling
+        (band_index.DedupLabels): index candidates → exact-Jaccard
+        verify → incremental components delta — the complete dedup
+        pipeline inside the exactly-once commit loop, O(changed) label
+        rows written per epoch.
         """
         assert mode in ("mor", "cow")
         if quarantine is True:
@@ -120,12 +128,16 @@ class CDCEngine:
         )
         self.metrics_dir = os.path.join(table_root, "metrics")
         self._applied_since_compact = 0
-        if lsh_index:
-            from .band_index import LshBandIndex
+        if lsh_index or dedup_labels:
+            from .band_index import DedupLabels, LshBandIndex
 
             self.lsh_index = LshBandIndex(self.table, text_col=lsh_text_col)
+            self.dedup_labels = (
+                DedupLabels(self.table, self.lsh_index) if dedup_labels else None
+            )
         else:
             self.lsh_index = None
+            self.dedup_labels = None
 
     # --- single-epoch apply --------------------------------------------------
 
@@ -234,6 +246,21 @@ class CDCEngine:
                 self.lsh_index.rows_for(persisted, epoch), tag
             )
             aux_add = {AUX_NAME: band_files}
+            if self.dedup_labels is not None:
+                # computed against the PRE-commit snapshot (index/labels
+                # as of the previous epoch) and written before the data
+                # commit references it; intermediates (signatures,
+                # candidate set) are scoped to this block
+                from .band_index import LABELS_AUX
+                from .cache import tracked_caches
+
+                with tracked_caches():
+                    aux_add[LABELS_AUX] = self.dedup_labels.write_epoch(
+                        self.dedup_labels.delta_for_epoch(
+                            self.spark, persisted, epoch
+                        ),
+                        tag,
+                    )
             reduced = persisted
         try:
             if self.mode == "mor":

@@ -62,6 +62,31 @@ def _release_blocks(spark: SparkSession, ids: set[int]) -> None:
             jmap.get(k).unpersist()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_constraint_propagation(spark: SparkSession):
+    """Work around a Spark Union constraint-rewrite crash
+    (``AttributeMap`` key-not-found in ``UnionBase.rewriteConstraints``
+    during optimization): when the CacheManager substitutes an
+    InMemoryRelation into one branch of a union whose other branch
+    reuses the same expression ids — exactly what
+    ``merge_components_delta``'s matched∪unmatched endpoint union over a
+    tracked-persisted relation produces — optimizing the first
+    ``localCheckpoint`` of the CC loop can throw. Constraint propagation
+    only derives extra filters (a performance aid, never correctness);
+    the condensed graphs here are tiny, so disabling it inside the CC
+    entry costs nothing."""
+    key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _edge_checksum(df: DataFrame) -> tuple[int, int]:
     """Order-insensitive edge-set fingerprint: (count, sum of per-edge
     int32 hashes as long — never overflows, id-magnitude-safe under
@@ -104,8 +129,6 @@ def connected_components(
         universe = nodes.select(F.col(node_col).alias("node")).distinct()
     spark = edges.sparkSession
     sym = persist_tracked(sym)
-    sym.count()  # materialize OUTSIDE the per-round id windows below, so
-    # its cache blocks are never attributed to (and freed with) a round
     # localCheckpoint (eager) both materializes the round AND truncates
     # the logical plan — without truncation each round's plan embeds the
     # previous round's whole tree several times over, and Catalyst
@@ -113,8 +136,16 @@ def connected_components(
     # star variant ground to a halt by round ~7 on a 120-node chain).
     # On a cluster, swap for reliable checkpoint() if executor loss
     # during the loop must be survivable.
-    before = _persistent_rdd_ids(spark)
-    labels = universe.select("node", F.col("node").alias("label")).localCheckpoint()
+    with _no_constraint_propagation(spark):
+        # entry materializations optimize the CALLER's full plan (see
+        # _no_constraint_propagation); sym.count() runs BEFORE the
+        # per-round id window below, so its cache blocks are never
+        # attributed to (and freed with) a round
+        sym.count()
+        before = _persistent_rdd_ids(spark)
+        labels = (
+            universe.select("node", F.col("node").alias("label")).localCheckpoint()
+        )
     prev_ids = _persistent_rdd_ids(spark) - before
     checksum = labels.agg(
         F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
@@ -235,6 +266,84 @@ def merge_components(
     return out
 
 
+def merge_components_delta(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+    new_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`merge_components`, emitting ONLY the rows that change —
+    the persisted-state form: a labels table stored as base + per-epoch
+    deltas (latest-per-node read, exactly icelite's MOR shape) needs
+    O(changed) rows written per batch, not an O(corpus) rewrite.
+
+    Equivalence contract (tested): latest-per-node over
+    ``labels ∪ delta`` (delta wins) ≡ ``merge_components(labels,
+    new_edges, new_nodes)``. Unlike :func:`merge_components`,
+    ``new_nodes`` may OVERLAP the labeled universe (an UPDATE batch
+    re-ingests known docs): already-labeled nodes never get a singleton
+    row — a group must not dissolve because one member's text was
+    revised (groups are monotone under incremental dedup; splitting
+    requires a full recompute, by design).
+
+    Plan shape: the corpus-sized ``labels`` relation is only ever the
+    STREAMED side of broadcast joins (endpoint lookup, relabel probe,
+    known-node probe) — no corpus shuffle; everything broadcast is
+    O(|new_edges| + |batch|)."""
+    lab = labels.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    )
+    e = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ends = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    matched = persist_tracked(lab.join(F.broadcast(ends), "node"))
+    unmatched = ends.join(
+        F.broadcast(matched.select("node")), "node", "left_anti"
+    )
+    ep = matched.union(unmatched.select("node", F.col("node").alias("label")))
+    cond = (
+        e.join(F.broadcast(ep.withColumnRenamed("node", "a")), "a")
+        .withColumnRenamed("label", "la")
+        .join(F.broadcast(ep.withColumnRenamed("node", "b")), "b")
+        .select(F.col("la").alias("id_a"), F.col("label").alias("id_b"))
+    )
+    comp = connected_components_star(cond)
+    mapping = F.broadcast(
+        comp.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias("_old"), F.col("label").alias("_new")
+        )
+    )
+    # rows whose label is remapped — _new != _old == their current label,
+    # so every emitted row is a real change
+    changed = lab.join(mapping, lab["label"] == F.col("_old")).select(
+        "node", F.col("_new").alias("label")
+    )
+    new_rows = unmatched.join(
+        mapping, unmatched["node"] == F.col("_old"), "left"
+    ).select("node", F.coalesce("_new", "node").alias("label"))
+    out = changed.union(new_rows)
+    if new_nodes is not None:
+        nn = new_nodes.select(F.col(node_col).alias("node")).distinct()
+        known = lab.join(F.broadcast(nn), "node").select("node")
+        singles = (
+            nn.join(F.broadcast(ends), "node", "left_anti")
+            .join(F.broadcast(known), "node", "left_anti")
+            .select("node", F.col("node").alias("label"))
+        )
+        out = out.union(singles)
+    return out
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): for every node u, connect each STRICTLY
@@ -293,12 +402,16 @@ def connected_components_star(
     rounds, i.e. once in the collision-free case)."""
     spark = edges.sparkSession
     before = _persistent_rdd_ids(spark)
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()  # truncate lineage per round — see the
-    )                       # min-label loop for why this is load-bearing
+    with _no_constraint_propagation(spark):
+        # the ENTRY checkpoint optimizes the caller's full plan (unions
+        # over cached relations) — the one place the constraint-rewrite
+        # crash can fire; every later round starts from this truncation
+        e = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()  # truncate lineage per round — see the
+        )                       # min-label loop for why this is load-bearing
     prev_ids = _persistent_rdd_ids(spark) - before
 
     chk = _edge_checksum(e)

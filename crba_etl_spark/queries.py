@@ -1216,6 +1216,52 @@ def q_lsh_index_candidates(spark, sf_dir):
     )
 
 
+def q_engine_dedup_labels(spark, sf_dir):
+    """The COMPLETE incremental dedup pipeline as ENGINE STATE (round-5:
+    composition of round-4 VERDICT #3 + #6): the existing 80% slice is
+    ingested as epoch 0 and the 20% batch as epoch 1, each commit
+    atomically carrying its band-index rows AND its near-dup group-label
+    delta (band_index.DedupLabels: index candidates → exact-Jaccard
+    verify over bucket-pruned partner text → merge_components_delta,
+    O(changed) label rows per epoch). The returned labeling is read back
+    from the persisted aux artifact; the oracle is the FULL-RECOMPUTE
+    recursive-CTE closure over the whole corpus (`dedup_groups`'
+    verbatim), so the hash match proves engine-incremental ≡ batch
+    recompute — pairs, verification and transitive closure included."""
+    import tempfile
+
+    from . import band_index
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    existing = docs.filter(bucket < 80)
+    new = docs.filter(bucket >= 80)
+    root = tempfile.mkdtemp(prefix="crba_dedupstate_")
+    table, index = band_index.ingest_documents(
+        spark, root, existing, dedup_labels=True
+    )
+    table, index = band_index.ingest_documents(
+        spark, root, new, dedup_labels=True, epoch=1, table=table
+    )
+    id_type = docs.schema["doc_id"].dataType
+    labels = band_index.DedupLabels(table, index).read(spark)
+    # the engine's labels are canonical minima under STRING ordering of
+    # the (composite, hence string) doc ids; the oracle's closure picks
+    # numeric minima. Recanonicalize each group's representative to the
+    # numeric min — an injective per-group rename, so any grouping
+    # difference (split or merge) still produces mismatching rows.
+    reps = labels.groupBy("label").agg(
+        F.min(F.col("node").cast(id_type)).alias("group_id")
+    )
+    return labels.join(reps, "label").select(
+        F.col("node").cast(id_type).alias("doc_id"), "group_id"
+    )
+
+
 def q_incremental_dedup_groups(spark, sf_dir):
     """The incremental-components step that completes the incremental
     dedup story (round-4 VERDICT #6): the corpus is already labeled
@@ -2486,7 +2532,6 @@ def registry() -> dict[str, tuple]:
         "snapshot_diff_events": (q_snapshot_diff_events, SQL_SNAPSHOT_DIFF_EVENTS),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
         "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
-        "user_high_watermark": (q_user_high_watermark, SQL_USER_HIGH_WATERMARK),
         "asof_last_click": (q_asof_last_click, SQL_ASOF_LAST_CLICK),
         # --- relational / TPC-H-ish -----------------------------------
         "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -2531,6 +2576,8 @@ def registry() -> dict[str, tuple]:
         # engine-maintained band index ≡ fresh recompute: same oracle as
         # incremental_near_dup (the index must hold exactly those bands)
         "lsh_index_candidates": (q_lsh_index_candidates, _sql_incremental_near_dup()),
+        # engine-maintained incremental labeling ≡ full recompute closure
+        "engine_dedup_labels": (q_engine_dedup_labels, _sql_dedup_groups()),
         # incremental ≡ full recompute: same closure oracle as dedup_groups
         "incremental_dedup_groups": (q_incremental_dedup_groups, _sql_dedup_groups()),
         "boilerplate_ngrams": (q_boilerplate_ngrams, _sql_boilerplate_ngrams()),
@@ -2559,6 +2606,7 @@ def registry() -> dict[str, tuple]:
         # Redundant twins / intermediates / labeled baselines: no driver
         # row, but replica-oracled every pytest run.
         "dedup_exact_events": (q_dedup_exact_events, SQL_DEDUP_EXACT_EVENTS),
+        "user_high_watermark": (q_user_high_watermark, SQL_USER_HIGH_WATERMARK),
         "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "hierarchy_rollup": (q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP),
         "rollup_order_stats": (q_rollup_order_stats, SQL_ROLLUP_ORDER_STATS),

@@ -123,6 +123,128 @@ def test_maintenance_carries_aux_and_expiry_sweeps(spark, tmpdir_):
     assert got > 0
 
 
+def test_streaming_tail_maintains_index_exactly_once(spark, tmpdir_):
+    """The streaming tail reaches the index through the same
+    engine.apply_epoch path: every committed slice's winners are indexed
+    in the same commit, and a full redelivery under a FRESH streaming
+    checkpoint appends zero index files (slice skips never reach the aux
+    merge). Completeness: every final-table row's bands are present
+    (each final winner won its slice, so its text was indexed then)."""
+    from crba_etl_spark.gen import StreamSpec, generate_stream
+    from crba_etl_spark.operators.text_dedup import _band_rows, minhash_signatures
+    from crba_etl_spark.streaming.tail import stream_apply
+
+    sdir = os.path.join(tmpdir_, "stream")
+    generate_stream(
+        sdir, StreamSpec(seed=11, n_events=3000, n_epochs=3, evolve_epoch=None)
+    )
+    eng = CDCEngine(
+        spark, os.path.join(tmpdir_, "t"), n_buckets=8, mode="mor", lsh_index=True
+    )
+    q = stream_apply(
+        spark,
+        eng,
+        sdir,
+        checkpoint_dir=os.path.join(tmpdir_, "ckpt"),
+        max_files_per_trigger=1,  # force multi-slice epochs
+    )
+    q.awaitTermination(timeout=300)
+    assert eng.table.committed_epochs() == {0, 1, 2}
+    files = set(eng.table.aux()[AUX_NAME]["files"])
+    assert files
+    index = LshBandIndex(eng.table)
+    indexed = {
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in index.read(spark).collect()
+    }
+    final_docs = eng.read_final().select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    expected = {
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in _band_rows(minhash_signatures(final_docs)).collect()
+    }
+    assert expected <= indexed  # stale rows from superseded slices allowed
+    # fresh-checkpoint redelivery: zero new index files, zero new versions
+    v0 = max(eng.table.versions())
+    q2 = stream_apply(
+        spark, eng, sdir, checkpoint_dir=os.path.join(tmpdir_, "ckpt2")
+    )
+    q2.awaitTermination(timeout=300)
+    assert set(eng.table.aux()[AUX_NAME]["files"]) == files
+    assert max(eng.table.versions()) == v0
+
+
+def test_engine_dedup_labels_incremental_state(spark, tmpdir_):
+    """dedup_labels=True: the full incremental dedup pipeline runs inside
+    the commit loop. Epoch 0 groups the in-batch near-dups; epoch 1's
+    batch bridges two existing groups through a new doc — the persisted
+    labeling must equal a full recompute over the final corpus, the
+    epoch-1 delta must contain only changed/new rows, and redelivery
+    must append nothing."""
+    from crba_etl_spark.band_index import LABELS_AUX, DedupLabels
+    from crba_etl_spark.operators.graph import connected_components_star
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    t2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    root = os.path.join(tmpdir_, "tbl")
+    eng = CDCEngine(spark, root, n_buckets=8, mode="mor", dedup_labels=True)
+    e0 = make_events(
+        spark,
+        [
+            (1, 0, "I", "a", 0, "user", t1, None, 0, 0),
+            (2, 0, "I", "b", 0, "user", t1 + " x", None, 1, 1),  # ~a#0
+            (3, 0, "I", "c", 0, "user", t2, None, 2, 2),
+            (4, 0, "I", "d", 0, "user", t2 + " y", None, 3, 3),  # ~c#0
+        ],
+    )
+    eng.apply_epoch(e0, 0)
+    labels = DedupLabels(eng.table, eng.lsh_index)
+    l0 = {r["node"]: r["label"] for r in labels.read(spark).collect()}
+    assert l0["b#0"] == l0["a#0"] and l0["d#0"] == l0["c#0"]
+    assert l0["a#0"] != l0["c#0"]
+    files0 = set(eng.table.aux()[LABELS_AUX]["files"])
+    # epoch 1: a new doc similar to BOTH texts would be unnatural; use
+    # two new docs, each near one group, plus an edge between them via a
+    # shared near-identical text — simplest bridge: one new doc whose
+    # text is near t1 and one near-dup pair inside the batch chaining to
+    # a doc near t2 won't bridge; instead UPDATE b#0's text to ~t2: the
+    # update adds edges b~c/b~d while b keeps its a-group membership
+    # (monotone groups), merging both groups at the union minimum.
+    e1 = make_events(spark, [(5, 1, "U", "b", 0, "user", t2 + " z", None, 4, 4)])
+    eng.apply_epoch(e1, 1)
+    l1 = {r["node"]: r["label"] for r in labels.read(spark).collect()}
+    assert len({l1[k] for k in ("a#0", "b#0", "c#0", "d#0")}) == 1
+    # delta files for epoch 1 carry only the rows whose label changed
+    new_files = set(eng.table.aux()[LABELS_AUX]["files"]) - files0
+    assert new_files
+    delta_rows = spark.read.parquet(
+        *[os.path.join(root, p) for p in new_files]
+    ).count()
+    changed = sum(1 for k in l1 if l0.get(k) != l1[k])
+    assert delta_rows == changed < len(l1)
+    # grouping equals a full recompute over FINAL text (with b's edges to
+    # its ORIGINAL group kept — monotone): union of old+new edge sets
+    final_docs = eng.read_final().select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    cur_pairs = text_dedup.jaccard_verify_pairs(
+        final_docs, text_dedup.minhash_lsh_candidates(final_docs)
+    ).select("id_a", "id_b")
+    old_pairs = spark.createDataFrame([("a#0", "b#0")], ["id_a", "id_b"])
+    # star variant: its convergence checksum hashes labels, so it is
+    # safe on STRING node ids (the min-label twin sums them numerically)
+    cc = connected_components_star(
+        cur_pairs.union(old_pairs),
+        nodes=final_docs.select(F.col("doc_id").alias("node")),
+    )
+    want = {r["node"]: r["label"] for r in cc.collect()}
+    assert {k: l1[k] for k in want} == want
+    # redelivery appends nothing
+    eng.apply_epoch(e1, 1)
+    assert set(eng.table.aux()[LABELS_AUX]["files"]) - files0 == new_files
+
+
 def test_engine_maintains_index_across_epochs(spark, tmpdir_):
     """CDC path: two epochs (insert + update), index committed with each
     epoch; candidates against the index equal fresh recompute over the

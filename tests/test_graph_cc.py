@@ -153,6 +153,44 @@ def test_merge_components_no_edges(spark):
     assert got == {1: 1, 2: 1, 9: 9}
 
 
+def _merge_delta(spark, labels, new_edges, new_nodes=None):
+    from crba_etl_spark.operators.graph import merge_components_delta
+
+    lab = spark.createDataFrame(list(labels.items()), "node long, label long")
+    e = spark.createDataFrame(new_edges, "id_a long, id_b long")
+    n = (
+        spark.createDataFrame([(x,) for x in new_nodes], "node long")
+        if new_nodes is not None
+        else None
+    )
+    out = merge_components_delta(lab, e, new_nodes=n)
+    return {r.node: r.label for r in out.collect()}
+
+
+def test_merge_delta_resolves_to_merge_components(spark):
+    """Equivalence contract: labels overridden by the delta (delta wins)
+    ≡ merge_components, and the delta contains ONLY changed/new rows."""
+    labels = {1: 1, 2: 1, 5: 5, 6: 5, 10: 10, 11: 10, 20: 20}
+    new_edges = [(2, 100), (100, 6), (11, 100), (30, 31)]
+    new_nodes = [100, 30, 31, 40]
+    delta = _merge_delta(spark, labels, new_edges, new_nodes=new_nodes)
+    full = _merge(spark, labels, new_edges, new_nodes=new_nodes)
+    assert {**labels, **delta} == full
+    # untouched rows never appear in the delta
+    assert 20 not in delta and 1 not in delta and 2 not in delta
+    # relabeled components, new edge-nodes and batch singletons do
+    assert delta[5] == 1 and delta[10] == 1 and delta[100] == 1
+    assert delta[30] == 30 and delta[31] == 30 and delta[40] == 40
+
+
+def test_merge_delta_update_batch_never_dissolves_groups(spark):
+    """new_nodes may OVERLAP the labeled universe (an UPDATE batch):
+    a re-ingested member with no surviving edge must NOT get a
+    singleton row that would override its group label at read time."""
+    delta = _merge_delta(spark, {3: 3, 7: 3}, [], new_nodes=[7, 9])
+    assert delta == {9: 9}  # 7 keeps label 3 (no row), 9 is genuinely new
+
+
 def test_cc_storage_is_o1_in_rounds(spark):
     """Round-4 ADVICE low: each round's localCheckpoint blocks must be
     freed when the next round materializes — a 30-round min-label run
