@@ -148,6 +148,28 @@ class LshBandIndex:
         )
 
 
+    # --- maintenance ---------------------------------------------------
+
+    def rebuild(self, spark: SparkSession, tag: str = "rebuild") -> dict:
+        """Rewrite the index from the table's CURRENT visible rows,
+        dropping the stale band rows document updates leave behind (the
+        append-only write path's documented trade-off) — the index
+        analog of table compaction, and the natural time to run it.
+        Lost-update-safe: the swap validates the aux file list against
+        the base the rebuild read (``IceliteTable.set_aux``) and raises
+        ``CommitConflict`` if an epoch landed meanwhile — re-run then.
+        Old index dirs become unreferenced; ``expire_snapshots`` sweeps
+        them once no retained snapshot lists them."""
+        base = self.files()
+        snap = self.table.snapshot()
+        docs = self.table.read(spark)
+        epoch = max(snap["committed_epochs"], default=0)
+        files = self.write_epoch(
+            self.rows_for(docs, epoch), f"{tag}-v{snap['version'] + 1:06d}"
+        )
+        return self.table.set_aux(AUX_NAME, files, base_files=base)
+
+
 #: aux-section name of the incremental near-dup group labels
 LABELS_AUX = "dedup_labels"
 
@@ -298,6 +320,21 @@ class DedupLabels:
         return sorted(
             f"{rel}/{f}" for f in os.listdir(out) if f.endswith(".parquet")
         )
+
+    def compact(self, spark: SparkSession, tag: str = "compact") -> dict:
+        """Fold the per-epoch label deltas into one resolved file set
+        (latest-per-node) — read-amplification maintenance, exactly the
+        table's MOR compaction for the labels artifact. Content is
+        IDENTICAL before/after by construction; lost-update-safe via
+        ``IceliteTable.set_aux``."""
+        base = self.files()
+        snap = self.table.snapshot()
+        epoch = max(snap["committed_epochs"], default=0)
+        resolved = self.read(spark).withColumn(
+            "__epoch", F.lit(epoch).cast("long")
+        )
+        files = self.write_epoch(resolved, f"{tag}-v{snap['version'] + 1:06d}")
+        return self.table.set_aux(LABELS_AUX, files, base_files=base)
 
 
 def ingest_documents(

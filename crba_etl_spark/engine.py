@@ -324,9 +324,15 @@ class CDCEngine:
         if due:
             self.compact()
 
-    def compact(self, drop_tombstones: bool = False) -> None:
+    def compact(
+        self, drop_tombstones: bool = False, rebuild_indexes: bool = False
+    ) -> None:
         """Fold MOR deltas into the base; in lazy-quarantine mode this is
-        also where stale/low-LSN rows are extracted for audit."""
+        also where stale/low-LSN rows are extracted for audit.
+        ``rebuild_indexes=True`` additionally rewrites the maintained aux
+        artifacts: the band index from current text (dropping the stale
+        rows updates left behind) and the labels to one resolved file
+        set — each a lost-update-safe CAS swap (band_index.py)."""
         self.table.compact(
             self.spark,
             drop_tombstones=drop_tombstones,
@@ -335,6 +341,10 @@ class CDCEngine:
             ),
         )
         self._applied_since_compact = 0
+        if rebuild_indexes and self.lsh_index is not None:
+            self.lsh_index.rebuild(self.spark)
+            if self.dedup_labels is not None:
+                self.dedup_labels.compact(self.spark)
 
     # --- batch replay / resume -------------------------------------------------
 

@@ -667,6 +667,47 @@ class IceliteTable:
 
     # --- maintenance ---------------------------------------------------------
 
+    def set_aux(
+        self, name: str, files: list[str], base_files: list[str]
+    ) -> dict:
+        """REPLACE an aux artifact's file list (maintenance: index
+        rebuild/compaction) — metadata-only commit with lost-update
+        protection: ``base_files`` is the file list the rewrite was
+        computed FROM; if a concurrent commit appended to the artifact
+        since, replacing would silently drop its rows, so the swap
+        raises :class:`CommitConflict` to the caller (re-read, re-run)
+        instead — the same contract as compaction/rebucket."""
+        for _attempt in range(8):
+            snap = self.snapshot()
+            aux = {k: dict(v) for k, v in snap.get("aux", {}).items()}
+            cur = aux.get(name, {}).get("files", [])
+            if cur != base_files:
+                raise CommitConflict(
+                    f"aux {name!r}: artifact changed since the rewrite's "
+                    f"base ({len(cur)} vs {len(base_files)} files) — "
+                    "re-read and re-run the rebuild"
+                )
+            aux[name] = {**aux.get(name, {}), "files": sorted(files)}
+            try:
+                self._write_snapshot(
+                    version=snap["version"] + 1,
+                    schema=T.StructType.fromJson(snap["schema"]),
+                    files={int(k): v for k, v in snap["files"].items()},
+                    committed_epochs=set(snap["committed_epochs"]),
+                    parent=snap["version"],
+                    stats={"aux_rewrite": name},
+                    deltas={int(k): v for k, v in snap.get("deltas", {}).items()},
+                    slices=snap.get("slices", []),
+                    epoch_files=snap.get("epoch_files", {}),
+                    rebucket_progress=snap.get("rebucket_progress"),
+                    aux=aux,
+                    expected_current=f"snapshot-{snap['version']:06d}.json",
+                )
+            except CommitConflict:
+                continue  # CAS race on an UNRELATED commit — revalidate
+            return self.snapshot()
+        raise CommitConflict(f"aux {name!r}: rewrite lost 8 CAS races")
+
     def rebucket(
         self,
         spark: SparkSession,

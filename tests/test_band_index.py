@@ -245,6 +245,81 @@ def test_engine_dedup_labels_incremental_state(spark, tmpdir_):
     assert set(eng.table.aux()[LABELS_AUX]["files"]) - files0 == new_files
 
 
+def test_index_rebuild_drops_stale_rows(spark, tmpdir_):
+    """After updates, rebuild() leaves exactly the bands of CURRENT text
+    (no stale rows), candidates stay correct, and the swap is
+    lost-update-safe: a commit landing between the rebuild's base read
+    and the swap raises CommitConflict instead of dropping its rows."""
+    import pytest
+
+    from crba_etl_spark.icelite import CommitConflict
+    from crba_etl_spark.operators.text_dedup import _band_rows, minhash_signatures
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    root = os.path.join(tmpdir_, "tbl")
+    eng = CDCEngine(spark, root, n_buckets=8, mode="mor", lsh_index=True)
+    eng.apply_epoch(
+        make_events(spark, [(1, 0, "I", "a", 0, "user", t1, None, 0, 0)]), 0
+    )
+    t1b = t1.replace("alpha", "zulu")
+    eng.apply_epoch(
+        make_events(spark, [(2, 1, "U", "a", 0, "user", t1b, None, 1, 1)]), 1
+    )
+    index = LshBandIndex(eng.table)
+    assert index.read(spark).count() > 4  # stale rows from both texts
+    eng.compact(rebuild_indexes=True)
+    indexed = {
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in index.read(spark).collect()
+    }
+    final_docs = eng.read_final().select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    want = {
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in _band_rows(minhash_signatures(final_docs)).collect()
+    }
+    assert indexed == want  # stale rows gone, nothing current missing
+    # lost-update protection: compute a rebuild against a stale base
+    stale_base = index.files()
+    eng.apply_epoch(
+        make_events(spark, [(3, 2, "I", "b", 0, "user", t1, None, 2, 2)]), 2
+    )
+    with pytest.raises(CommitConflict):
+        eng.table.set_aux("lsh_bands", ["index/lsh/bogus/x.parquet"], stale_base)
+    # and a valid rebuild from the CURRENT base still succeeds
+    index.rebuild(spark)
+    assert index.read(spark).filter(F.col("doc_id") == "b#0").count() > 0
+
+
+def test_labels_compact_preserves_resolution(spark, tmpdir_):
+    from crba_etl_spark.band_index import LABELS_AUX, DedupLabels
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    root = os.path.join(tmpdir_, "tbl")
+    eng = CDCEngine(spark, root, n_buckets=8, mode="mor", dedup_labels=True)
+    eng.apply_epoch(
+        make_events(
+            spark,
+            [
+                (1, 0, "I", "a", 0, "user", t1, None, 0, 0),
+                (2, 0, "I", "b", 0, "user", t1 + " x", None, 1, 1),
+            ],
+        ),
+        0,
+    )
+    eng.apply_epoch(
+        make_events(spark, [(3, 1, "I", "c", 0, "user", t1 + " y", None, 2, 2)]), 1
+    )
+    labels = DedupLabels(eng.table, eng.lsh_index)
+    before = {r["node"]: r["label"] for r in labels.read(spark).collect()}
+    n_files_before = len(eng.table.aux()[LABELS_AUX]["files"])
+    labels.compact(spark)
+    after = {r["node"]: r["label"] for r in labels.read(spark).collect()}
+    assert after == before
+    assert len(eng.table.aux()[LABELS_AUX]["files"]) <= n_files_before
+
+
 def test_engine_maintains_index_across_epochs(spark, tmpdir_):
     """CDC path: two epochs (insert + update), index committed with each
     epoch; candidates against the index equal fresh recompute over the
