@@ -245,6 +245,57 @@ def test_engine_dedup_labels_incremental_state(spark, tmpdir_):
     assert set(eng.table.aux()[LABELS_AUX]["files"]) - files0 == new_files
 
 
+def test_streaming_dedup_labels_slicewise(spark, tmpdir_):
+    """dedup_labels under the streaming tail (multi-slice epochs): every
+    final-table doc is labeled exactly once, any verified near-dup pair
+    over FINAL text shares a label (completeness — slices can only
+    COARSEN grouping, since intermediate winners' texts add edges under
+    the documented monotone semantics, never remove them), and a
+    fresh-checkpoint redelivery appends neither label nor band files."""
+    from crba_etl_spark.band_index import LABELS_AUX, DedupLabels
+    from crba_etl_spark.gen import StreamSpec, generate_stream
+    from crba_etl_spark.streaming.tail import stream_apply
+
+    sdir = os.path.join(tmpdir_, "stream")
+    generate_stream(
+        sdir, StreamSpec(seed=13, n_events=2000, n_epochs=2, evolve_epoch=None)
+    )
+    eng = CDCEngine(
+        spark, os.path.join(tmpdir_, "t"), n_buckets=8, mode="mor",
+        dedup_labels=True,
+    )
+    q = stream_apply(
+        spark, eng, sdir,
+        checkpoint_dir=os.path.join(tmpdir_, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(timeout=300)
+    assert eng.table.committed_epochs() == {0, 1}
+    labels = DedupLabels(eng.table, eng.lsh_index)
+    lab = {r["node"]: r["label"] for r in labels.read(spark).collect()}
+    final_docs = eng.read_final().select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    doc_ids = {r["doc_id"] for r in final_docs.select("doc_id").collect()}
+    assert doc_ids <= set(lab)  # every live doc labeled (tombstones may linger)
+    pairs = text_dedup.jaccard_verify_pairs(
+        final_docs, text_dedup.minhash_lsh_candidates(final_docs)
+    ).collect()
+    for r in pairs:
+        assert lab[r["id_a"]] == lab[r["id_b"]]
+    aux0 = {
+        k: set(v["files"]) for k, v in eng.table.aux().items()
+    }
+    q2 = stream_apply(
+        spark, eng, sdir, checkpoint_dir=os.path.join(tmpdir_, "ckpt2")
+    )
+    q2.awaitTermination(timeout=300)
+    assert {
+        k: set(v["files"]) for k, v in eng.table.aux().items()
+    } == aux0
+    assert LABELS_AUX in aux0 and aux0[LABELS_AUX]
+
+
 def test_index_rebuild_drops_stale_rows(spark, tmpdir_):
     """After updates, rebuild() leaves exactly the bands of CURRENT text
     (no stale rows), candidates stay correct, and the swap is
