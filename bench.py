@@ -654,6 +654,7 @@ def _write_baseline_md(out: dict) -> None:
     # append this run — scaling numbers on this shared VM move with the
     # host's noise phase, so a single snapshot would over- or under-state
     history = ""
+    aligned_sec = ""
     try:
         with open("BENCH/BASELINE.md") as f:
             old = f.read()
@@ -662,6 +663,12 @@ def _write_baseline_md(out: dict) -> None:
             history = "\n".join(
                 l for l in tail_sec.splitlines() if l.startswith("- ")
             )
+        # standing sections added outside this writer (the aligned-ingest
+        # record, round-4 VERDICT #7) survive regeneration
+        if "## Exchange-free aligned ingest" in old:
+            body = old.split("## Exchange-free aligned ingest", 1)[1]
+            body = body.split("\n## ", 1)[0]
+            aligned_sec = "## Exchange-free aligned ingest" + body.rstrip() + "\n\n"
     except FileNotFoundError:
         pass
     entry = (
@@ -723,7 +730,7 @@ local[{nb}] = {out['runs'][str(nb)]}
 Per-epoch rates (events/sec, per run): local[{ns}] = {out['epoch_rates'][str(ns)]},
 local[{nb}] = {out['epoch_rates'][str(nb)]}
 
-## Extrapolation to 10^10 events (honest, not a cluster claim)
+{aligned_sec}## Extrapolation to 10^10 events (honest, not a cluster claim)
 
 At the measured local[{nb}] sustained rate, 10^10 events take
 {1e10 / out['tput_big'] / 3600:,.1f} hours on {nb} threads of this node;

@@ -14,9 +14,10 @@ creates local[*]).
 
 Commands:
     replay   --events DIR --table DIR [--mode mor|cow] [--n-buckets N]
+             [--lsh-index] [--dedup-labels]   (maintained index artifacts)
     resume   --events DIR --table DIR          (skip committed epochs)
     stream   --events DIR --table DIR --checkpoint DIR   (readStream tail)
-    compact  --table DIR [--drop-tombstones]
+    compact  --table DIR [--drop-tombstones] [--rebuild-indexes]
     check    --table DIR [--report DIR]        (invariant suite → quality_report)
     metrics  --table DIR                       (print per-epoch apply stats)
     diff     --table DIR --from V [--to V] [--out DIR] [--show N]
@@ -40,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--mode", choices=["mor", "cow"], default="mor")
         p.add_argument("--quarantine", choices=["lazy", "eager", "off"], default="lazy")
         p.add_argument("--master", default=None)
+        # maintained aux artifacts (band_index.py): opt-in, committed
+        # atomically with each epoch
+        p.add_argument("--lsh-index", action="store_true")
+        p.add_argument("--dedup-labels", action="store_true")
 
     for name in ("replay", "resume", "stream"):
         p = sub.add_parser(name)
@@ -52,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact")
     common(p)
     p.add_argument("--drop-tombstones", action="store_true")
+    p.add_argument("--rebuild-indexes", action="store_true")
 
     p = sub.add_parser("rebucket")
     common(p)
@@ -89,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         mode=args.mode,
         quarantine=quarantine,
+        lsh_index=getattr(args, "lsh_index", False),
+        dedup_labels=getattr(args, "dedup_labels", False),
     )
 
     if args.cmd in ("replay", "resume"):
@@ -113,7 +121,10 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         print(json.dumps({"committed_epochs": sorted(engine.table.committed_epochs())}))
     elif args.cmd == "compact":
-        engine.compact(drop_tombstones=args.drop_tombstones)
+        engine.compact(
+            drop_tombstones=args.drop_tombstones,
+            rebuild_indexes=args.rebuild_indexes,
+        )
         print(json.dumps({"version": engine.table.snapshot()["version"]}))
     elif args.cmd == "rebucket":
         snap = engine.table.rebucket(

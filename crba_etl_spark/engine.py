@@ -341,10 +341,21 @@ class CDCEngine:
             ),
         )
         self._applied_since_compact = 0
-        if rebuild_indexes and self.lsh_index is not None:
-            self.lsh_index.rebuild(self.spark)
-            if self.dedup_labels is not None:
-                self.dedup_labels.compact(self.spark)
+        if rebuild_indexes:
+            # rebuild whatever artifacts the TABLE records, not just what
+            # this engine instance was constructed with — a maintenance
+            # CLI run (`compact --rebuild-indexes`) must not silently
+            # no-op on a table whose ingest engine maintains the index
+            from .band_index import AUX_NAME, LABELS_AUX, DedupLabels, LshBandIndex
+
+            aux = self.table.aux()
+            if AUX_NAME in aux or self.lsh_index is not None:
+                index = self.lsh_index or LshBandIndex(self.table)
+                index.rebuild(self.spark)
+                if LABELS_AUX in aux or self.dedup_labels is not None:
+                    (
+                        self.dedup_labels or DedupLabels(self.table, index)
+                    ).compact(self.spark)
 
     # --- batch replay / resume -------------------------------------------------
 

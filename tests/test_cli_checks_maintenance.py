@@ -54,6 +54,52 @@ def test_cli_replay_compact_check_metrics(stream, tmpdir_):
     assert os.listdir(os.path.join(tmpdir_, "rep"))
 
 
+def test_cli_lsh_index_and_rebuild(stream, tmpdir_):
+    """`replay --lsh-index --dedup-labels` maintains both aux artifacts;
+    `compact --rebuild-indexes` rebuilds them even WITHOUT the flags (a
+    maintenance run must act on what the table records, not on how this
+    engine instance was constructed)."""
+    table = os.path.join(tmpdir_, "t")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "crba_etl_spark", *args],
+            capture_output=True, text=True, cwd="/root/repo", env=env, timeout=600,
+        )
+
+    r = cli(
+        "replay", "--events", stream, "--table", table, "--n-buckets", "4",
+        "--lsh-index", "--dedup-labels",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    snap = json.load(
+        open(
+            os.path.join(
+                table, "snapshots",
+                sorted(os.listdir(os.path.join(table, "snapshots")))[-1],
+            )
+        )
+    )
+    files0 = {k: set(v["files"]) for k, v in snap["aux"].items()}
+    assert files0.get("lsh_bands") and files0.get("dedup_labels")
+
+    r = cli("compact", "--table", table, "--n-buckets", "4", "--rebuild-indexes")
+    assert r.returncode == 0, r.stderr[-2000:]
+    snap2 = json.load(
+        open(
+            os.path.join(
+                table, "snapshots",
+                sorted(os.listdir(os.path.join(table, "snapshots")))[-1],
+            )
+        )
+    )
+    files1 = {k: set(v["files"]) for k, v in snap2["aux"].items()}
+    # rebuilt: both artifacts replaced with fresh (non-empty) file sets
+    assert files1["lsh_bands"] and files1["lsh_bands"] != files0["lsh_bands"]
+    assert files1["dedup_labels"] and files1["dedup_labels"] != files0["dedup_labels"]
+
+
 def test_checks_fail_on_corrupt_table(spark, tmpdir_):
     eng = CDCEngine(spark, os.path.join(tmpdir_, "t"), n_buckets=4)
     eng.apply_epoch(make_events(spark, [
