@@ -252,8 +252,23 @@ class DedupLabels:
             minhash_lsh_candidates,
         )
 
-        bd = self._batch_docs(batch)
+        bd_all = self._batch_docs(batch)
         prev = self.read(spark)
+        # EXACT-dup collapse before LSH (the standard pipeline order, and
+        # a scale requirement): k identical texts in one batch would band
+        # into a k-clique — k² candidate pairs through verification —
+        # while contributing one node of information. One representative
+        # per distinct text runs the LSH/verify path; the other members
+        # join its component through trivial exact edges.
+        dg = persist_tracked(bd_all.withColumn("__d", F.md5("text")))
+        reps = dg.groupBy("__d").agg(F.min("doc_id").alias("__rep"))
+        with_rep = dg.join(F.broadcast(reps), "__d")
+        bd = with_rep.filter(F.col("doc_id") == F.col("__rep")).select(
+            "doc_id", "text"
+        )
+        exact_edges = with_rep.filter(F.col("doc_id") != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
         nx = (
             self.index.candidates(spark, bd)
             .filter(F.col("new_id") != F.col("existing_id"))
@@ -288,7 +303,7 @@ class DedupLabels:
             .distinct()
             .collect()
         }
-        batch_ids = bd.select("doc_id")
+        batch_ids = bd_all.select("doc_id")
         ex_docs = (
             self.table.read_resolved(spark, buckets=buckets)
             .filter(~F.col("__deleted"))
@@ -299,9 +314,11 @@ class DedupLabels:
             .join(F.broadcast(batch_ids), "doc_id", "left_anti")
         )
         docs_v = bd.union(ex_docs).join(F.broadcast(ids), "doc_id")
-        pairs = jaccard_verify_pairs(docs_v, cand, threshold=self.threshold)
+        pairs = jaccard_verify_pairs(docs_v, cand, threshold=self.threshold).select(
+            "id_a", "id_b"
+        ).union(exact_edges)
         delta = merge_components_delta(
-            prev, pairs, new_nodes=bd.select(F.col("doc_id").alias("node"))
+            prev, pairs, new_nodes=bd_all.select(F.col("doc_id").alias("node"))
         )
         return delta.withColumn("__epoch", F.lit(epoch).cast("long"))
 

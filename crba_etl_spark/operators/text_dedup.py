@@ -244,6 +244,46 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def decontaminate_overlap(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Training-data DECONTAMINATION: flag corpus documents sharing
+    character shingles with a held-out evaluation set — the check every
+    training pipeline runs before a benchmark claim means anything.
+    Output one row per contaminated corpus doc:
+    (doc_id, n_eval_docs, n_shared_shingles).
+
+    Shape: shingle equi-join (corpus shingles ⨝ eval shingles) + one
+    map-side-combinable agg — cost is bounded by |corpus shingles| +
+    matches, never corpus×eval. The eval side is tiny relative to the
+    corpus (benchmarks are), so at cluster scale it broadcast-joins.
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    EVAL docs from the comparison — boilerplate n-grams shared by many
+    eval items signal template overlap, not contamination, and they
+    dominate join cost (same posting-list cap as the Jaccard join)."""
+    cs = shingles(corpus, id_col)
+    es = shingles(eval_docs, id_col).withColumnRenamed(id_col, "eval_id")
+    if max_doc_freq is not None:
+        rare = (
+            es.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        es = es.join(rare, "sh")
+    return (
+        cs.join(es, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.countDistinct("sh").alias("n_shared_shingles"),
+        )
+    )
+
+
 def simhash32(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per document over character shingles.
 

@@ -1304,6 +1304,44 @@ def q_incremental_dedup_groups(spark, sf_dir):
     )
 
 
+def q_decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination over the corpus: the 5% md5 slice
+    (bucket ≥ 95) stands in for a held-out eval set; every corpus doc
+    (bucket < 95) sharing ≥ 1 character shingle with any eval doc is
+    flagged with its overlap counts. A shingle equi-join + one agg —
+    at 100 TB the eval side is benchmark-sized and broadcasts; the
+    corpus pays exactly one shingle pass (`decontaminate_overlap`,
+    operators/text_dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    corpus = docs.filter(bucket < 95)
+    eval_docs = docs.filter(bucket >= 95)
+    return text_dedup.decontaminate_overlap(corpus, eval_docs)
+
+
+def _sql_decontaminate_overlap():
+    return f"""
+WITH split AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100) AS b
+  FROM documents
+),
+corpus AS (SELECT doc_id, text FROM split WHERE b < 95),
+eval_docs AS (SELECT doc_id, text FROM split WHERE b >= 95),
+{_sql_shingles('corpus').replace('pos AS', 'cpos AS').replace('sh AS', 'csh AS').replace('FROM pos', 'FROM cpos')},
+{_sql_shingles('eval_docs').replace('pos AS', 'epos AS').replace('sh AS', 'esh AS').replace('FROM pos', 'FROM epos')}
+SELECT c.doc_id AS doc_id,
+       count(DISTINCT e.doc_id) AS n_eval_docs,
+       count(DISTINCT c.sh) AS n_shared_shingles
+FROM csh c JOIN esh e ON c.sh = e.sh
+GROUP BY 1
+"""
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Boilerplate mining: the character 5-grams shared by the most
     documents (document frequency ≥ 5), top 20 — the signal behind
@@ -2566,7 +2604,6 @@ def registry() -> dict[str, tuple]:
         # --- documents / training-data pipeline -----------------------
         "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
         "pack_sharded": (q_pack_sharded, SQL_PACK_SHARDED),
-        "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
@@ -2581,6 +2618,10 @@ def registry() -> dict[str, tuple]:
         # incremental ≡ full recompute: same closure oracle as dedup_groups
         "incremental_dedup_groups": (q_incremental_dedup_groups, _sql_dedup_groups()),
         "boilerplate_ngrams": (q_boilerplate_ngrams, _sql_boilerplate_ngrams()),
+        "decontaminate_overlap": (
+            q_decontaminate_overlap,
+            _sql_decontaminate_overlap(),
+        ),
         "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_near_pairs()),
         "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -2607,6 +2648,7 @@ def registry() -> dict[str, tuple]:
         # row, but replica-oracled every pytest run.
         "dedup_exact_events": (q_dedup_exact_events, SQL_DEDUP_EXACT_EVENTS),
         "user_high_watermark": (q_user_high_watermark, SQL_USER_HIGH_WATERMARK),
+        "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
         "hash_split_sample": (q_hash_split_sample, SQL_HASH_SPLIT_SAMPLE),
         "hierarchy_rollup": (q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP),
         "rollup_order_stats": (q_rollup_order_stats, SQL_ROLLUP_ORDER_STATS),

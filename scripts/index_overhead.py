@@ -1,0 +1,101 @@
+"""Measure the apply-cost of the maintained index artifacts →
+BENCH/INDEX_OVERHEAD.md.
+
+Replays the identical change stream through three engine configs —
+baseline MOR, ``lsh_index=True`` (band index per epoch), and
+``dedup_labels=True`` (band index + incremental group labeling) — and
+records sustained apply rates. The features are strictly OPT-IN, so the
+headline CDC bench is unaffected; this report states what turning them
+on costs, interleaved across rounds so a host-noise wave cannot be
+attributed to one config. Run: python scripts/index_overhead.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+EVENTS = int(os.environ.get("IDX_BENCH_EVENTS", "600000"))
+EPOCHS = 3
+ROUNDS = 3
+
+
+def main() -> None:
+    from bench import TEXT_PAD, _gen_stream, host_noise_ratio
+
+    from crba_etl_spark.engine import CDCEngine, list_epochs
+    from crba_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="index-overhead", master="local[8]", shuffle_partitions=16
+    )
+    d = _gen_stream(
+        os.path.join(tempfile.gettempdir(), f"crba_idx_bench_{EVENTS}_{TEXT_PAD}"),
+        EVENTS,
+        EPOCHS,
+        None,
+    )
+    epochs = list_epochs(d)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    configs = {
+        "baseline": {},
+        "lsh_index": {"lsh_index": True},
+        "dedup_labels": {"dedup_labels": True},
+    }
+    rates: dict[str, list[float]] = {k: [] for k in configs}
+    probes = []
+    for _round in range(ROUNDS):
+        probes.append(host_noise_ratio())
+        for name, kw in configs.items():
+            root = os.path.join(base, f"crba_idx_bench_{name}")
+            shutil.rmtree(root, ignore_errors=True)
+            eng = CDCEngine(spark, root, n_buckets=16, mode="mor", **kw)
+            t0 = time.monotonic()
+            n = 0
+            for k in epochs:
+                ev = spark.read.parquet(os.path.join(d, f"epoch={k}"))
+                st = eng.apply_epoch(ev, k)
+                n += st["events_in"]
+            rates[name].append(round(n / (time.monotonic() - t0), 1))
+            shutil.rmtree(root, ignore_errors=True)
+    med = {k: statistics.median(v) for k, v in rates.items()}
+    lines = [
+        "# BENCH/INDEX_OVERHEAD — cost of the maintained index artifacts",
+        "",
+        f"Workload: {EVENTS:,} events x {EPOCHS} epochs (transcript texts,",
+        f"local[8], {ROUNDS} interleaved rounds per config, median reported;",
+        f"host-noise probes per round: {probes}).",
+        "",
+        "| engine config | sustained apply events/sec (median) | raw rounds | vs baseline |",
+        "|---|---|---|---|",
+    ]
+    for k in configs:
+        lines.append(
+            f"| {k} | {med[k]:,.0f} | {rates[k]} | "
+            f"{med[k] / med['baseline']:.2f}x |"
+        )
+    lines += [
+        "",
+        "Reading: the band index adds one shingle->MinHash->band pass plus a",
+        "clustered parquet write per epoch (O(batch)); dedup_labels adds the",
+        "candidate join against the persisted index, a bucket-pruned",
+        "exact-Jaccard verification and the components delta fold. Both are",
+        "opt-in; the headline CDC rate is the baseline row. At 100 TB the",
+        "same per-batch asymptotics hold: nothing in either feature reads",
+        "the corpus text again (plan-asserted in tests/test_band_index.py).",
+        "",
+    ]
+    out = "/root/repo/BENCH/INDEX_OVERHEAD.md"
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
