@@ -125,7 +125,11 @@ class LshBandIndex:
         return spark.read.schema(BAND_SCHEMA).parquet(*paths)
 
     def candidates(
-        self, spark: SparkSession, new_docs: DataFrame, id_col: str = "doc_id"
+        self,
+        spark: SparkSession,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        max_bucket: int | None = None,
     ) -> DataFrame:
         """Near-dup candidates of an incoming batch against the indexed
         corpus: bands of ``new_docs`` (the ONLY shingle pass in the plan)
@@ -133,11 +137,36 @@ class LshBandIndex:
         existing_id, n_shared_bands). ``countDistinct(band_idx)`` rather
         than ``count(*)``: an updated document holds band rows from both
         text versions, and a band index must count once even if both
-        match."""
+        match.
+
+        ``max_bucket`` caps the EXISTING side per (band_idx, band_hash)
+        bucket — the same boilerplate/skew defense as
+        ``minhash_lsh_candidates``: an indexed bucket larger than the cap
+        (shared template text across the corpus) is represented by its
+        min doc_id only, so a batch doc matching it emits ONE candidate
+        per band instead of |bucket| — O(batch) output even when the
+        whole corpus shares a band. Members of such a bucket are already
+        transitively connected through past epochs' labeling, so group
+        connectivity is preserved via the representative; pair recall
+        inside oversized buckets is the documented trade-off. ``None``
+        keeps exact semantics."""
         nb = _band_rows(
             persist_tracked(minhash_signatures(new_docs, id_col)), id_col
         ).alias("n")
-        eb = self.read(spark).alias("e")
+        eb = self.read(spark)
+        if max_bucket is not None:
+            sizes = eb.groupBy("band_idx", "band_hash").agg(
+                F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__rep")
+            )
+            eb = (
+                eb.join(sizes, ["band_idx", "band_hash"])
+                .filter(
+                    (F.col("__n") <= max_bucket)
+                    | (F.col("doc_id") == F.col("__rep"))
+                )
+                .select("doc_id", "band_idx", "band_hash")
+            )
+        eb = eb.alias("e")
         return (
             nb.join(eb, on=["band_idx", "band_hash"])
             .groupBy(
@@ -208,11 +237,29 @@ class DedupLabels:
     """
 
     def __init__(
-        self, table: IceliteTable, index: LshBandIndex, threshold: float = 0.35
+        self,
+        table: IceliteTable,
+        index: LshBandIndex,
+        threshold: float = 0.35,
+        max_bucket: int | None = None,
     ):
         self.table = table
         self.index = index
         self.threshold = threshold
+        #: oversized-band-bucket cap (see LshBandIndex.candidates /
+        #: minhash_lsh_candidates) — OPT-IN, None keeps exact closure
+        #: semantics. The cap bounds batches of near-identical texts
+        #: (templated turns, shared boilerplate) to O(batch) candidates
+        #: via representative star edges, and is the right setting for
+        #: corpora where oversized buckets really are near-dup cliques
+        #: (every rep edge passes verification, so groups stay
+        #: connected). It is NOT safe as a default: when an oversized
+        #: bucket is dominated by LSH false positives (short texts with
+        #: shared substrings), a member whose rep edge fails
+        #: verification loses its would-have-verified edges to OTHER
+        #: members, fragmenting groups — observed on the CDC stream's
+        #: short payload texts.
+        self.max_bucket = max_bucket
 
     def files(self) -> list[str]:
         return list(
@@ -270,11 +317,13 @@ class DedupLabels:
             F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b")
         )
         nx = (
-            self.index.candidates(spark, bd)
+            self.index.candidates(spark, bd, max_bucket=self.max_bucket)
             .filter(F.col("new_id") != F.col("existing_id"))
             .select(F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b"))
         )
-        nn = minhash_lsh_candidates(bd).select("id_a", "id_b")
+        nn = minhash_lsh_candidates(bd, max_bucket=self.max_bucket).select(
+            "id_a", "id_b"
+        )
         cand = persist_tracked(nx.union(nn).distinct())
         ids = (
             cand.select(F.col("id_a").alias("doc_id"))
@@ -314,6 +363,9 @@ class DedupLabels:
             .join(F.broadcast(batch_ids), "doc_id", "left_anti")
         )
         docs_v = bd.union(ex_docs).join(F.broadcast(ids), "doc_id")
+        # the verify pipeline (shingle joins over candidate partners) is
+        # the expensive subtree; merge_components_delta checkpoints its
+        # edge-set input immediately, so this plan executes exactly once
         pairs = jaccard_verify_pairs(docs_v, cand, threshold=self.threshold).select(
             "id_a", "id_b"
         ).union(exact_edges)
@@ -364,6 +416,7 @@ def ingest_documents(
     dedup_labels: bool = False,
     epoch: int = 0,
     table: IceliteTable | None = None,
+    max_bucket: int | None = None,
 ) -> tuple[IceliteTable, LshBandIndex]:
     """Create an icelite table keyed by ``id_col`` from a documents
     relation and ingest it as one epoch with the band index (and, with
@@ -389,7 +442,7 @@ def ingest_documents(
     tag = f"e{epoch:06d}"
     aux_add = {AUX_NAME: index.write_epoch(index.rows_for(batch, epoch), tag)}
     if dedup_labels:
-        labels = DedupLabels(table, index)
+        labels = DedupLabels(table, index, max_bucket=max_bucket)
         aux_add[LABELS_AUX] = labels.write_epoch(
             labels.delta_for_epoch(spark, batch, epoch), tag
         )

@@ -68,6 +68,7 @@ class CDCEngine:
         lsh_index: bool = False,
         lsh_text_col: str = "text",
         dedup_labels: bool = False,
+        dedup_max_bucket: int | None = None,
     ):
         """``mode`` picks the apply strategy (both yield identical final
         state; both are tested against the same oracle):
@@ -111,6 +112,13 @@ class CDCEngine:
         verify → incremental components delta — the complete dedup
         pipeline inside the exactly-once commit loop, O(changed) label
         rows written per epoch.
+
+        ``dedup_max_bucket`` (opt-in) caps oversized LSH band buckets
+        with representative star edges — O(batch) candidates under
+        shared-boilerplate corpora at the cost of pair recall inside
+        capped buckets; leave ``None`` (exact) unless oversized buckets
+        are known to be genuine near-dup cliques (see
+        band_index.DedupLabels).
         """
         assert mode in ("mor", "cow")
         if quarantine is True:
@@ -133,7 +141,11 @@ class CDCEngine:
 
             self.lsh_index = LshBandIndex(self.table, text_col=lsh_text_col)
             self.dedup_labels = (
-                DedupLabels(self.table, self.lsh_index) if dedup_labels else None
+                DedupLabels(
+                    self.table, self.lsh_index, max_bucket=dedup_max_bucket
+                )
+                if dedup_labels
+                else None
             )
         else:
             self.lsh_index = None

@@ -217,12 +217,17 @@ def merge_components(
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")
     )
-    e = (
-        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    ends = (
+    # truncate lineage at the edge set — same rationale as
+    # merge_components_delta (multiple consuming branches + broadcast
+    # exchanges + per-action plan-string cost)
+    with _no_constraint_propagation(new_edges.sparkSession):
+        e = (
+            new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+    ends = persist_tracked(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
@@ -233,7 +238,9 @@ def merge_components(
     unmatched = ends.join(
         F.broadcast(matched.select("node")), "node", "left_anti"
     )
-    ep = matched.union(unmatched.select("node", F.col("node").alias("label")))
+    ep = persist_tracked(
+        matched.union(unmatched.select("node", F.col("node").alias("label")))
+    )
 
     cond = (
         e.join(F.broadcast(ep.withColumnRenamed("node", "a")), "a")
@@ -296,12 +303,21 @@ def merge_components_delta(
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")
     )
-    e = (
-        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    ends = (
+    # TRUNCATE lineage at the edge set: it feeds several output branches
+    # and broadcast exchanges, each of which re-executes the caller's
+    # full candidate+verify pipeline (337 s vs ~20 s on a 2k-doc batch)
+    # — and worse, every downstream action's listener-event plan string
+    # re-prints that whole subtree (cached relations don't shrink it;
+    # observed 540 s of single-threaded explainString per epoch).
+    # localCheckpoint executes the subtree ONCE and leaves a leaf node.
+    with _no_constraint_propagation(new_edges.sparkSession):
+        e = (
+            new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+    ends = persist_tracked(
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
@@ -310,7 +326,9 @@ def merge_components_delta(
     unmatched = ends.join(
         F.broadcast(matched.select("node")), "node", "left_anti"
     )
-    ep = matched.union(unmatched.select("node", F.col("node").alias("label")))
+    ep = persist_tracked(
+        matched.union(unmatched.select("node", F.col("node").alias("label")))
+    )
     cond = (
         e.join(F.broadcast(ep.withColumnRenamed("node", "a")), "a")
         .withColumnRenamed("label", "la")

@@ -221,3 +221,88 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     sh = shingles(docs, "doc_id", text_col).withColumn("h", h32(F.col("sh")))
     return sh.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+#: PII patterns shared by the engine and the DuckDB oracle: character
+#: classes only, so Java regex (Spark) and RE2 (DuckDB) match the same
+#: spans. Real deployments extend the list (SSNs, IBANs, names via a
+#: model seam); the scrubbing PLUMBING — count, replace-all, verify —
+#: is what must be exact and distributed.
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email/phone PII from a text column — the scrub step every
+    conversation-transcript pipeline runs before training. Pure Catalyst
+    (`regexp_count` + `regexp_replace`, replace-all semantics), so the
+    scan stays in whole-stage codegen; output carries per-doc redaction
+    counts and a self-check flag (``clean`` = no pattern survives its
+    own redaction) that the oracle pins to true. The reference cleanses
+    free-text columns with pandas `.str.replace` one process at a time
+    (/root/reference/etl/transformation/cleanse.py); this is the
+    shuffle-free distributed form."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE)).cast("long")
+    n_phones = F.regexp_count(t, F.lit(PHONE_RE)).cast("long")
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        red.alias("redacted"),
+        (F.regexp_count(red, F.lit(EMAIL_RE)) + F.regexp_count(red, F.lit(PHONE_RE)) == 0).alias(
+            "clean"
+        ),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    public): duplicate-word fraction, top-word fraction, duplicate
+    2-gram fraction, and an illustrative keep flag. Layout chosen for
+    scale: the bigram fractions come from per-row array ops
+    (`zip_with`/`array_distinct` — zero shuffles), while the top-word
+    count — which would be O(n_distinct x n_words) per row as an array
+    fold — uses explode → two map-side-combinable aggs keyed by
+    (doc_id[, word]), then one doc_id equi-join back. All comparisons
+    use the ROUNDED fractions so the keep boundary is engine-portable."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    bg = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bstat = docs.select(
+        "doc_id",
+        F.size(bg).alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).alias("nd_bigrams"),
+    )
+    pw = (
+        docs.select("doc_id", F.explode(ws).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = pw.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_count"),
+    )
+    j = agg.join(bstat, "doc_id")
+    dup_w = F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6)
+    top_w = F.round(F.col("top_word_count") / F.col("n_words"), 6)
+    dup_b = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(1 - F.col("nd_bigrams") / F.col("n_bigrams"), 6),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        dup_w.alias("dup_word_frac"),
+        top_w.alias("top_word_frac"),
+        dup_b.alias("dup_2gram_frac"),
+        ((top_w <= 0.3) & (dup_b <= 0.6)).alias("keep"),
+    )

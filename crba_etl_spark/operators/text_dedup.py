@@ -217,7 +217,9 @@ def incremental_lsh_candidates(
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over the MinHash
     signature: docs sharing >= 1 of the 4 bands (4 rows each).
     Output: (id_a, id_b, n_shared_bands).
@@ -230,16 +232,58 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     the in-session equivalent, and test_plans.py asserts the plan carries
     exactly one signature subtree. The persist is TRACKED
     (``cache.release_caches`` frees it once results are materialized —
-    round-3 ADVICE cache-leak fix)."""
+    round-3 ADVICE cache-leak fix).
+
+    ``max_bucket`` is the boilerplate/skew defense every production LSH
+    dedup needs: a band bucket holding k near-identical documents (shared
+    page chrome, license headers, templated transcripts) emits k²/2
+    pairs through the self-join — one such bucket at corpus scale is a
+    job-killing straggler task (observed: a 256-char shared text suffix
+    turned a 200k-doc batch into ~2×10¹⁰ candidate pairs). With a cap,
+    buckets larger than ``max_bucket`` emit STAR edges instead — each
+    member paired with the bucket's min id, O(k) rows — so transitive
+    GROUPING through the representative is preserved (all members remain
+    connected if the rep-member pairs pass verification) while pair
+    recall WITHIN oversized buckets is traded for a linear bound; small
+    buckets keep exact all-pairs semantics. ``None`` (default) keeps the
+    uncapped oracle-exact behavior; for the oversized-bucket rows of a
+    capped run ``n_shared_bands`` counts the bands in which the member
+    co-bucketed with that representative."""
     sig = persist_tracked(minhash_signatures(docs, id_col))
     bands = _band_rows(sig, id_col)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, on=["band_idx", "band_hash"])
+    if max_bucket is None:
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(b, on=["band_idx", "band_hash"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        )
+    bands = persist_tracked(bands)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__rep")
+    )
+    bs = bands.join(sizes, ["band_idx", "band_hash"])
+    small = bs.filter(F.col("__n") <= max_bucket).select(
+        id_col, "band_idx", "band_hash"
+    )
+    pair_small = (
+        small.alias("a")
+        .join(small.alias("b"), on=["band_idx", "band_hash"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+    )
+    pair_big = bs.filter(
+        (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__rep"))
+    ).select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    return (
+        pair_small.union(pair_big)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 

@@ -2545,6 +2545,180 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_semantic_dedup_groups(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embedding column (Abbas et
+    al. 2023, public): transitive GROUPS in embedding space, not just
+    pairs — hyperplane-LSH candidates → exact cosine verify (≥0.4,
+    rounded compare, the `cosine_near_dup` composition — no all-pairs
+    join anywhere) → distributed connected components → every vector
+    labeled with its group's smallest vec_id; ``is_keeper`` marks the
+    one survivor per semantic group. The oracle replays the identical
+    pair set and closes it with a recursive CTE — the same
+    cross-engine closure proof `dedup_groups` uses for text."""
+    from .operators.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_lsh(emb, threshold=0.4)
+    cc = connected_components(
+        pairs, nodes=emb.select(F.col("vec_id").alias("node"))
+    )
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("group_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def _sql_semantic_dedup_groups():
+    return f"""
+WITH RECURSIVE {_sql_emb_lsh_ctes()},
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN e a ON a.vec_id = id_a
+  JOIN e b ON b.vec_id = id_b
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              6) >= 0.4
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT vec_id AS node, vec_id AS root FROM embeddings
+  UNION
+  SELECT s.b, w.root FROM walk w JOIN sym s ON s.a = w.node
+),
+lab AS (SELECT node, min(root) AS group_id FROM walk GROUP BY 1)
+SELECT node AS vec_id, group_id, node = group_id AS is_keeper FROM lab
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over transcript-like text. The synthetic documents
+    carry no real PII, so the query plants DETERMINISTIC doc_id-derived
+    PII (an email + a phone) into every row first — the redaction then
+    provably fires everywhere and the oracle checks counts, the exact
+    redacted strings, and the ``clean`` self-check. Spark and the
+    oracle share one regex source (text_analysis.EMAIL_RE/PHONE_RE,
+    character classes only so Java regex and RE2 agree)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text_analysis.pii_redact(docs)
+
+
+def _sql_pii_redact():
+    em, ph = text_analysis.EMAIL_RE, text_analysis.PHONE_RE
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),
+                        '{ph}', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones, redacted,
+       (len(regexp_extract_all(redacted, '{em}'))
+        + len(regexp_extract_all(redacted, '{ph}'))) = 0 AS clean
+FROM red
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document — see
+    operators/text_analysis.repetition_stats for the shuffle layout."""
+    return text_analysis.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+pw AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS nd, max(c) AS topc
+  FROM pw GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bgs
+  FROM w
+),
+bstat AS (
+  SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS ndb FROM bg
+),
+frac AS (
+  SELECT a.doc_id, n_words,
+         round(1 - nd / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+         round(topc / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+         CASE WHEN n_bigrams > 0
+              THEN round(1 - ndb / CAST(n_bigrams AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_2gram_frac
+  FROM agg a JOIN bstat b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_2gram_frac,
+       (top_word_frac <= 0.3 AND dup_2gram_frac <= 0.6) AS keep
+FROM frac
+"""
+
+
+def q_domain_mix_weights(spark, sf_dir):
+    """Per-domain sampling weights for dataset mixing (alpha=0.5
+    temperature smoothing, the public multilingual-sampling recipe):
+    weight_d = n_d^0.5 / Σ n^0.5 — upweights small domains, downweights
+    dominant ones. ONE shuffle: the per-domain agg; the corpus totals
+    (Σn, Σ√n) fold back in via crossJoin(F.broadcast(1-row agg)) over
+    the SAME aggregated child, so exchange reuse scans the table once
+    (the bm25 single-plan shape, round-4 VERDICT #4)."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    stats = per.agg(
+        F.sum("n_docs").alias("_tot"), F.sum(F.sqrt("n_docs")).alias("_z")
+    )
+    return per.crossJoin(F.broadcast(stats)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.col("n_docs") / F.col("_tot"), 6).alias("raw_share"),
+        F.round(F.sqrt("n_docs") / F.col("_z"), 6).alias("weight"),
+    )
+
+
+SQL_DOMAIN_MIX_WEIGHTS = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+),
+stats AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tot, sum(sqrt(n_docs)) AS z FROM per
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_chars,
+       round(n_docs / CAST(tot AS DOUBLE), 6) AS raw_share,
+       round(sqrt(n_docs) / z, 6) AS weight
+FROM per, stats
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2602,21 +2776,19 @@ def registry() -> dict[str, tuple]:
         "value_map_encode": (q_value_map_encode, SQL_VALUE_MAP_ENCODE),
         "resolve_dirty_keys": (q_resolve_dirty_keys, SQL_RESOLVE_DIRTY_KEYS),
         # --- documents / training-data pipeline -----------------------
-        "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
+        "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+        "pii_redact": (q_pii_redact, _sql_pii_redact()),
         "pack_sharded": (q_pack_sharded, SQL_PACK_SHARDED),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
         "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
         "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
-        "incremental_near_dup": (q_incremental_near_dup, _sql_incremental_near_dup()),
         # engine-maintained band index ≡ fresh recompute: same oracle as
         # incremental_near_dup (the index must hold exactly those bands)
         "lsh_index_candidates": (q_lsh_index_candidates, _sql_incremental_near_dup()),
         # engine-maintained incremental labeling ≡ full recompute closure
         "engine_dedup_labels": (q_engine_dedup_labels, _sql_dedup_groups()),
-        # incremental ≡ full recompute: same closure oracle as dedup_groups
-        "incremental_dedup_groups": (q_incremental_dedup_groups, _sql_dedup_groups()),
         "boilerplate_ngrams": (q_boilerplate_ngrams, _sql_boilerplate_ngrams()),
         "decontaminate_overlap": (
             q_decontaminate_overlap,
@@ -2643,9 +2815,21 @@ def registry() -> dict[str, tuple]:
         "ann_ivf_topk": (q_ivf_topk, _sql_ann_ivf_topk()),
         "embedding_lsh_candidates": (q_embedding_lsh_candidates, _sql_embedding_lsh()),
         "cosine_near_dup": (q_cosine_near_dup, _sql_cosine_near_dup_lsh()),
+        # semantic GROUPS (SemDeDup closure) — the embedding twin of
+        # dedup_groups, distinct family from the pair queries above
+        "semantic_dedup_groups": (
+            q_semantic_dedup_groups,
+            _sql_semantic_dedup_groups(),
+        ),
         # ==== driver 50-entry cap falls here ==========================
         # Redundant twins / intermediates / labeled baselines: no driver
         # row, but replica-oracled every pytest run.
+        "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
+        "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX_WEIGHTS),
+        # operator-level form of lsh_index_candidates (same oracle)
+        "incremental_near_dup": (q_incremental_near_dup, _sql_incremental_near_dup()),
+        # incremental ≡ full recompute: same closure oracle as dedup_groups
+        "incremental_dedup_groups": (q_incremental_dedup_groups, _sql_dedup_groups()),
         "dedup_exact_events": (q_dedup_exact_events, SQL_DEDUP_EXACT_EVENTS),
         "user_high_watermark": (q_user_high_watermark, SQL_USER_HIGH_WATERMARK),
         "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),

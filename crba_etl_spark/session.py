@@ -49,6 +49,15 @@ def get_spark(
         # timestamps; read them as TIMESTAMP (UTC session) not ntz, so
         # schemas stay stable across writers (pyarrow/DuckDB/Spark)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # every action's SparkListenerSQLExecutionStart carries a plan
+        # DESCRIPTION string built by QueryExecution.explainString even
+        # with the UI off; for deep composed plans (cached relations
+        # print their full child plan at every reference) the default
+        # ~2 GB cap let that string grow to hundreds of MB and the
+        # single-threaded build dominated the driver (observed: 540 s of
+        # StringConcat in one epoch apply). 2 MB is far above any plan
+        # the plan-assertion tests inspect, and bounds the cost.
+        .config("spark.sql.maxPlanStringLength", "2097152")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # codegen-heavy workloads outgrow the JVM's default 240 MB JIT

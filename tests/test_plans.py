@@ -101,6 +101,7 @@ def test_plan_invariants_and_regenerate_plans_md(spark):
         "cosine_topk",           # the query vector (1 row)
         "ann_ivf_topk",          # cosine_topk within the probed cells
         "bm25_topk",             # corpus stats (1-row agg, round-4 VERDICT #4)
+        "domain_mix_weights",    # corpus totals (1-row agg, bm25 shape)
     }
     # the exact all-pairs cosine baseline is the ONLY registry query
     # allowed a data×data nested-loop join (it is the recall oracle; the
