@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..cache import persist_tracked
 
@@ -401,4 +401,63 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame, text_col: str = "text", chunk_words: int = 8
+) -> DataFrame:
+    """Corpus-wide exact CHUNK dedup (the span-granular form of exact
+    substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" — public): split every document into
+    fixed-width word chunks, keep only the FIRST occurrence of each
+    distinct chunk corpus-wide (ordered by (doc_id, chunk_idx)), and
+    re-assemble each document from its surviving chunks. Removes
+    repeated spans (licenses, templated turns, quoted context) that
+    whole-document dedup misses. The reference deduplicates whole rows
+    with pandas drop_duplicates (etl/transformation/cleanse.py); this is
+    the sub-document distributed form.
+
+    Output: (doc_id, n_chunks, n_kept, kept_frac, cleaned_text) —
+    cleaned_text is '' when every chunk of the document appeared
+    earlier (a pure duplicate).
+
+    Scale shape: chunking is a per-row array op (flatMap via posexplode,
+    no shuffle); first-occurrence selection is a window keyed by the
+    chunk's md5 — ONE exchange on a uniform 128-bit key, group sizes =
+    duplicate multiplicity (bounded; no skew blowup since identical
+    boilerplate collapses to one group scanned once) — and re-assembly
+    is a groupBy(doc_id) whose collect_list is bounded by document
+    length. No join-back: the window form replaces the classic
+    agg+self-join (which would scan the exploded corpus twice)."""
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(ws) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * chunk_words + 1, chunk_words), " "),
+    )
+    ch = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = ch.select(
+        "doc_id", "chunk_idx", "chunk",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+    n_kept = F.sum(F.col("kept").cast("int")).cast("long")
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        n_kept.alias("n_kept"),
+        F.round(n_kept / F.count(F.lit(1)), 6).alias("kept_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )

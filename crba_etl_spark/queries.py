@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .operators import similarity, text_analysis, text_dedup
+from .operators import similarity, text_analysis, text_dedup, transcripts
 from .operators.dedup import reduce_latest
 
 # --------------------------------------------------------------------------
@@ -2719,6 +2719,100 @@ FROM per, stats
 """
 
 
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation transcript statistics over the reduced final
+    state — role-keyed turn counts, tool-call count, character volume,
+    time span (operators/transcripts.conversation_stats; the
+    conversation-keyed form of the reference's per-indicator pandas
+    roll-ups, etl/transformation/scaler.py). Composes on
+    q_cdc_replay_reduce, so the whole plan is the CDC reduce plus ONE
+    conv_id exchange."""
+    return transcripts.conversation_stats(q_cdc_replay_reduce(spark, sf_dir))
+
+
+SQL_CONVERSATION_STATS = f"""
+WITH {_SQL_CDC_CTE}, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM cdc
+), final AS (
+  SELECT conv_id, turn_idx, role, text, tool, {_SQL_TS_S.format(c='ts')} AS ts_s
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       (count(*) FILTER (role = 'user'))::BIGINT AS n_user,
+       (count(*) FILTER (role = 'assistant'))::BIGINT AS n_assistant,
+       (count(*) FILTER (tool IS NOT NULL))::BIGINT AS n_tool_calls,
+       sum(len(text))::BIGINT AS total_chars,
+       min(ts_s)::BIGINT AS first_ts_s,
+       max(ts_s)::BIGINT AS last_ts_s,
+       (max(ts_s) - min(ts_s))::BIGINT AS duration_s
+FROM final GROUP BY conv_id
+"""
+
+
+def q_turn_alternation_audit(spark, sf_dir):
+    """Transcript structural QA — repeated-role adjacencies, turn-index
+    gaps, and the well_formed export gate
+    (operators/transcripts.turn_alternation_audit)."""
+    return transcripts.turn_alternation_audit(q_cdc_replay_reduce(spark, sf_dir))
+
+
+SQL_TURN_ALTERNATION_AUDIT = f"""
+WITH {_SQL_CDC_CTE}, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM cdc
+), final AS (
+  SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1 AND op <> 'D'
+), stepped AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+  FROM final
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       (count(*) FILTER (role = prev_role))::BIGINT AS n_repeat_role,
+       (count(*) FILTER (prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1))::BIGINT
+         AS n_gaps,
+       ((count(*) FILTER (role = prev_role)) = 0
+        AND (count(*) FILTER (prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1)) = 0
+        AND min(turn_idx) = 0) AS well_formed
+FROM stepped GROUP BY conv_id
+"""
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus-wide exact chunk (sub-document span) dedup — keep the
+    first occurrence of every 8-word chunk, re-assemble documents
+    (operators/text_dedup.chunk_dedup; window form, one uniform-key
+    exchange, no join-back)."""
+    return text_dedup.chunk_dedup(load(spark, sf_dir, "documents"))
+
+
+SQL_CHUNK_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+  FROM w, UNNEST(range(greatest(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1))) AS t(i)
+),
+r AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) = 1 AS kept
+  FROM ch
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       (count(*) FILTER (kept))::BIGINT AS n_kept,
+       round((count(*) FILTER (kept)) / CAST(count(*) AS DOUBLE), 6) AS kept_frac,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (kept), '')
+         AS cleaned_text
+FROM r GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2728,12 +2822,13 @@ def registry() -> dict[str, tuple]:
 
     ORDER MATTERS: the driver's correctness harness audits the FIRST 50
     entries in insertion order (round-4 VERDICT #2). The first 50 are
-    therefore one representative per operator family — CDC, windows,
-    TPC-H aggregates, sketches, reshape, sampling, set ops, text dedup
-    (exact/MinHash-LSH/SimHash/components/incremental), text analysis,
-    curation, analytics (funnel/retention/interval/salted/BM25/profile)
-    and embedding similarity — so no family is absent from the driver
-    record. Redundant twins and labeled quadratic baselines sit past the
+    therefore one representative per operator family — CDC, transcripts
+    (per-conversation stats / structural QA), windows, TPC-H aggregates,
+    sketches, reshape, sampling, set ops, text dedup
+    (exact/chunk/MinHash-LSH/SimHash/components/incremental), text
+    analysis, curation, analytics
+    (funnel/retention/interval/salted/BM25/profile) and embedding
+    similarity — so no family is absent from the driver record. Redundant twins and labeled quadratic baselines sit past the
     cap; every entry (both halves) is still oracle-compared on every
     pytest run by the driver-replica gate (tests/test_entry_contract.py).
     """
@@ -2741,6 +2836,12 @@ def registry() -> dict[str, tuple]:
         # --- CDC / temporal -------------------------------------------
         "cdc_latest_per_key": (q_cdc_latest_per_key, SQL_CDC_LATEST_PER_KEY),
         "cdc_replay_reduce": (q_cdc_replay_reduce, SQL_CDC_REPLAY_REDUCE),
+        # --- transcript-native (round-5) ------------------------------
+        "conversation_stats": (q_conversation_stats, SQL_CONVERSATION_STATS),
+        "turn_alternation_audit": (
+            q_turn_alternation_audit,
+            SQL_TURN_ALTERNATION_AUDIT,
+        ),
         "snapshot_diff_events": (q_snapshot_diff_events, SQL_SNAPSHOT_DIFF_EVENTS),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
         "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
@@ -2781,8 +2882,9 @@ def registry() -> dict[str, tuple]:
         "pack_sharded": (q_pack_sharded, SQL_PACK_SHARDED),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
+        # sub-document exact span dedup (round-5)
+        "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
-        "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
         "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
         # engine-maintained band index ≡ fresh recompute: same oracle as
         # incremental_near_dup (the index must hold exactly those bands)
@@ -2795,10 +2897,8 @@ def registry() -> dict[str, tuple]:
             _sql_decontaminate_overlap(),
         ),
         "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_near_pairs()),
-        "token_stats": (q_token_stats, SQL_TOKEN_STATS),
         "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
         "lang_id": (q_lang_id, SQL_LANG_ID),
-        "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "curation_near_dup_pipeline": (
             q_curation_near_dup_pipeline,
             _sql_curation_near_dup_pipeline(),
@@ -2826,6 +2926,12 @@ def registry() -> dict[str, tuple]:
         # row, but replica-oracled every pytest run.
         "doc_clusters": (q_doc_clusters, _sql_doc_clusters()),
         "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX_WEIGHTS),
+        # intermediate of dedup_groups (in-window), still oracled here
+        "lsh_verified_pairs": (q_lsh_verified_pairs, _sql_lsh_verified()),
+        # quality_score (in-window) composes these token statistics
+        "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+        # MinHash-family twin of minhash_lsh_candidates (in-window)
+        "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         # operator-level form of lsh_index_candidates (same oracle)
         "incremental_near_dup": (q_incremental_near_dup, _sql_incremental_near_dup()),
         # incremental ≡ full recompute: same closure oracle as dedup_groups

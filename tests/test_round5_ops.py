@@ -197,3 +197,72 @@ def test_dedup_labels_degenerate_batch_completes(spark, tmpdir_):
     release_caches()
     assert len(labels) == 300
     assert len({r["label"] for r in labels}) == 1
+
+
+def test_conversation_stats_hand_values(spark):
+    from crba_etl_spark.operators.transcripts import conversation_stats
+
+    final = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hi", None, 100),
+            ("c1", 1, "assistant", "hello!", None, 160),
+            ("c1", 2, "tool", "ok", "browser", 220),
+            ("c2", 0, "user", "x", None, 500),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s long",
+    )
+    r = {x["conv_id"]: x for x in conversation_stats(final).collect()}
+    c1 = r["c1"]
+    assert c1["n_turns"] == 3 and c1["n_user"] == 1 and c1["n_assistant"] == 1
+    assert c1["n_tool_calls"] == 1
+    assert c1["total_chars"] == len("hi") + len("hello!") + len("ok")
+    assert (c1["first_ts_s"], c1["last_ts_s"], c1["duration_s"]) == (100, 220, 120)
+    c2 = r["c2"]
+    assert c2["n_turns"] == 1 and c2["duration_s"] == 0
+
+
+def test_turn_alternation_audit_flags(spark):
+    from crba_etl_spark.operators.transcripts import turn_alternation_audit
+
+    final = spark.createDataFrame(
+        [
+            # well-formed: starts at 0, alternating, contiguous
+            ("good", 0, "user"), ("good", 1, "assistant"), ("good", 2, "user"),
+            # repeated role at turns 1-2
+            ("rep", 0, "user"), ("rep", 1, "assistant"), ("rep", 2, "assistant"),
+            # gap: 0 then 2
+            ("gap", 0, "user"), ("gap", 2, "assistant"),
+            # starts late
+            ("late", 1, "user"), ("late", 2, "assistant"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    r = {x["conv_id"]: x for x in turn_alternation_audit(final).collect()}
+    assert r["good"]["well_formed"] and r["good"]["n_repeat_role"] == 0
+    assert r["rep"]["n_repeat_role"] == 1 and not r["rep"]["well_formed"]
+    assert r["gap"]["n_gaps"] == 1 and not r["gap"]["well_formed"]
+    assert r["late"]["n_gaps"] == 0 and not r["late"]["well_formed"]
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """Doc 1 owns every chunk it introduces; doc 2 repeats doc 1's first
+    8-word chunk and adds a new tail chunk; doc 3 is a pure duplicate of
+    doc 1 and must come back empty."""
+    from crba_etl_spark.operators.text_dedup import chunk_dedup
+
+    c0 = "w0 w1 w2 w3 w4 w5 w6 w7"          # chunk A
+    c1 = "x0 x1 x2 x3 x4 x5 x6 x7"          # chunk B
+    tail = "fresh new words here"           # short final chunk C
+    df = spark.createDataFrame(
+        [(1, f"{c0} {c1}"), (2, f"{c0} {tail}"), (3, f"{c0} {c1}")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in chunk_dedup(df).collect()}
+    assert r[1]["n_chunks"] == 2 and r[1]["n_kept"] == 2
+    assert r[1]["cleaned_text"] == f"{c0} {c1}"
+    # doc 2: chunk A already seen; its tail chunk survives alone
+    assert r[2]["n_chunks"] == 2 and r[2]["n_kept"] == 1
+    assert r[2]["cleaned_text"] == tail
+    assert r[2]["kept_frac"] == 0.5
+    # doc 3: everything seen before -> empty reassembly
+    assert r[3]["n_kept"] == 0 and r[3]["cleaned_text"] == ""
