@@ -92,9 +92,20 @@ def main() -> None:
         "clustered parquet write per epoch (O(batch)); dedup_labels adds the",
         "candidate join against the persisted index, a bucket-pruned",
         "exact-Jaccard verification and the components delta fold. Both are",
-        "opt-in; the headline CDC rate is the baseline row. At 100 TB the",
-        "same per-batch asymptotics hold: nothing in either feature reads",
-        "the corpus text again (plan-asserted in tests/test_band_index.py).",
+        "opt-in; the headline CDC rate is the baseline row.",
+        "",
+        "Context for the ratios (see the epoch-size sweep in",
+        "BENCH/INDEX_OVERHEAD.md for the measured decomposition): this",
+        "corpus is the WORST case for near-dup labeling — every text",
+        "near-duplicates the entire corpus through a shared 256-char",
+        "filler (a single giant clique, capped at max_bucket=64), so the",
+        "verify join touches ~every batch document; a realistic corpus has",
+        "a small near-dup fraction and verification cost ~ |candidates|.",
+        "What must hold at 100 TB is the asymptotic: per-epoch cost is",
+        "O(batch) with a flat per-epoch floor, never O(corpus) — nothing",
+        "re-reads the corpus text (plan-asserted in",
+        "tests/test_band_index.py), and the sweep shows the per-event",
+        "marginal cost does not grow as the indexed corpus grows.",
         "",
     ]
     out = "/root/repo/BENCH/INDEX_OVERHEAD.md"
