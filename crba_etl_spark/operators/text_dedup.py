@@ -122,24 +122,42 @@ def jaccard_verify_pairs(
     """Exact n-gram Jaccard restricted to candidate pairs (id_a, id_b) —
     the 100 TB composition: LSH generates candidates with uniform-key
     equi-joins, and only those pairs pay the exact verification, so the
-    shingle join is bounded by |candidates|, never quadratic in the
-    posting-list length."""
-    sh = shingles(docs, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        pairs.select("id_a", "id_b")
-        .join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    work is bounded by |candidates|, never quadratic in the posting-list
+    length.
+
+    Intersections are computed per PAIR ROW with ``array_intersect``
+    over each document's distinct-shingle array (one groupBy of the
+    shingle relation), not by joining exploded shingle rows: the
+    row-join form multiplies every candidate pair by ~|shingles| rows
+    (~L per doc) and shuffles that expansion on (id, shingle) — ~L×
+    more shuffled bytes for the same answer. Here the shuffled unit is
+    one array per doc side, and the set intersection runs JVM-side
+    inside the join row. Per-row memory is O(doc length) — shingle
+    arrays of the two docs — which bounds batch texts fine; megabyte
+    documents would want the exploded form back. Output is identical:
+    pairs with an empty intersection are dropped (as the old inner
+    join did) and jaccard is rounded to 6 places for oracle
+    portability."""
+    doc_sh = shingles(docs, id_col).groupBy(id_col).agg(
+        F.collect_list("sh").alias("sh_arr"), F.count(F.lit(1)).alias("n_sh")
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    da = doc_sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_arr").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    db = doc_sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_arr").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.select("id_a", "id_b")
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", inter)
+        .filter(F.col("inter") > 0)
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
