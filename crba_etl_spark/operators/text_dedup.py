@@ -41,17 +41,25 @@ def h32(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def shingle_array(text_col: str = "text") -> F.Column:
+    """Per-row DISTINCT character-shingle array — a pure column
+    expression (transform + array_distinct), so deduplication happens
+    inside the row, never as a corpus-wide ``distinct()`` shuffle."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col})-{SHINGLE_LEN - 1}, 1)),"
+            f" i -> substr({text_col}, i, {SHINGLE_LEN}))"
+        )
+    )
+
+
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct character shingles per document (id, sh)."""
-    return docs.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col})-{SHINGLE_LEN - 1}, 1)),"
-                f" i -> substr({text_col}, i, {SHINGLE_LEN}))"
-            )
-        ).alias("sh"),
-    ).distinct()
+    """Distinct character shingles per document (id, sh). Exploded from
+    :func:`shingle_array`, so per-doc distinctness is free (row-local) —
+    no shuffle; the old ``explode(...).distinct()`` form shuffled the
+    whole exploded relation (~doc_length rows per doc) to deduplicate
+    keys that were already unique within each row's array."""
+    return docs.select(id_col, F.explode(shingle_array(text_col)).alias("sh"))
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -126,8 +134,9 @@ def jaccard_verify_pairs(
     length.
 
     Intersections are computed per PAIR ROW with ``array_intersect``
-    over each document's distinct-shingle array (one groupBy of the
-    shingle relation), not by joining exploded shingle rows: the
+    over each document's distinct-shingle array (row-local via
+    :func:`shingle_array` — no shuffle builds it), not by joining
+    exploded shingle rows: the
     row-join form multiplies every candidate pair by ~|shingles| rows
     (~L per doc) and shuffles that expansion on (id, shingle) — ~L×
     more shuffled bytes for the same answer. Here the shuffled unit is
@@ -138,9 +147,9 @@ def jaccard_verify_pairs(
     pairs with an empty intersection are dropped (as the old inner
     join did) and jaccard is rounded to 6 places for oracle
     portability."""
-    doc_sh = shingles(docs, id_col).groupBy(id_col).agg(
-        F.collect_list("sh").alias("sh_arr"), F.count(F.lit(1)).alias("n_sh")
-    )
+    doc_sh = docs.select(
+        id_col, shingle_array().alias("sh_arr")
+    ).withColumn("n_sh", F.size("sh_arr"))
     da = doc_sh.select(
         F.col(id_col).alias("id_a"),
         F.col("sh_arr").alias("sh_a"),
@@ -168,13 +177,29 @@ def jaccard_verify_pairs(
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """K=16 MinHash signature columns s0..s15 per document."""
-    sh = shingles(docs, id_col).withColumn("h", h32(F.col("sh")))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{k}")
+    """K=16 MinHash signature columns s0..s15 per document.
+
+    Computed ROW-LOCALLY: the distinct-shingle array is hashed once per
+    row and each signature slot is an ``array_min`` over an affine
+    rehash of that array — ZERO shuffles (the old form exploded
+    shingles and ran a 16-min groupBy, shuffling ~doc_length rows per
+    doc back to one). Values are bit-identical to the grouped form:
+    min over the same distinct shingle set, same h32/affine/modulus
+    arithmetic, so the SQL oracle is unchanged."""
+    hashed = docs.select(
+        id_col,
+        F.transform(shingle_array(), lambda s: h32(s)).alias("__h"),
+    )
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("__h"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+            )
+        ).alias(f"s{k}")
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.select(id_col, *sigs)
 
 
 def _band_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
