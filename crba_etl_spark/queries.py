@@ -2813,6 +2813,56 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_pack_conversations(spark, sf_dir):
+    """Context-window packing with CONVERSATIONS as the indivisible
+    unit — a transcript must never straddle two training windows, so
+    the packing row is one reduced conversation (total character
+    volume from the CDC final state), sharded and prefix-sum-binned
+    exactly like `pack_sharded` (md5 shard, per-shard window, 4096-char
+    bins). Composition: cdc reduce -> conv-level agg -> shard window —
+    no global sort, no task sees more than one shard."""
+    final = q_cdc_replay_reduce(spark, sf_dir)
+    conv = final.groupBy("conv_id").agg(
+        F.sum(F.length("text")).cast("long").alias("conv_len")
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("conv_id"), 1, 8), 16, 10).cast("long"),
+        F.lit(N_PACK_SHARDS),
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("conv_len").over(w), F.lit(0))
+    return conv.withColumn("shard", shard).select(
+        "conv_id",
+        "shard",
+        "conv_len",
+        F.floor(prefix / 4096).cast("int").alias("pack_bin"),
+    )
+
+
+SQL_PACK_CONVERSATIONS = f"""
+WITH {_SQL_CDC_CTE}, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM cdc
+), conv AS (
+  SELECT conv_id, sum(len(text))::BIGINT AS conv_len,
+         (('0x' || substr(md5(conv_id), 1, 8))::BIGINT
+           % {N_PACK_SHARDS})::INT AS shard
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+  GROUP BY conv_id
+)
+SELECT conv_id, shard, conv_len,
+       CAST(floor(coalesce(sum(conv_len) OVER (
+           PARTITION BY shard ORDER BY conv_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 4096) AS INT) AS pack_bin
+FROM conv
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2950,6 +3000,8 @@ def registry() -> dict[str, tuple]:
         "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
         # global-window oracle twin of pack_sharded (N_PACK_SHARDS=1)
         "pack_contiguous": (q_pack_contiguous, SQL_PACK_CONTIGUOUS),
+        # transcripts x packing composition (conversation-whole units)
+        "pack_conversations": (q_pack_conversations, SQL_PACK_CONVERSATIONS),
         "minhash_signatures": (q_minhash_signatures, _sql_minhash_signatures()),
         "simhash": (q_simhash, _sql_simhash()),
         # *_exact_baseline naming = the registry's own warning label: the
