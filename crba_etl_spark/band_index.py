@@ -267,7 +267,19 @@ class DedupLabels:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Resolved labeling: latest row per node across epoch deltas."""
+        """Resolved labeling: smallest label per node across epoch deltas.
+
+        Labels are MONOTONE NON-INCREASING per node — every delta row
+        either introduces a node (label ≤ its own id) or remaps its
+        current label to a condensed component's minimum (strictly
+        smaller), so ``min(label)`` IS the latest label. The previous
+        ``max_by(label, __epoch)`` resolution additionally depended on
+        the epoch stamp, and several SLICES of one epoch (streaming tail
+        with ``max_files_per_trigger``, open-epoch batch replay) all
+        stamp the same ``__epoch`` — a node re-labeled by a later slice
+        tied with the earlier slice's row and max_by picked an arbitrary
+        one, nondeterministically splitting groups (round-5 ADVICE
+        medium). ``min`` is order- and stamp-independent."""
         paths = [os.path.join(self.table.root, p) for p in self.files()]
         if not paths:
             return spark.createDataFrame([], LABELS_SCHEMA).select("node", "label")
@@ -275,7 +287,7 @@ class DedupLabels:
             spark.read.schema(LABELS_SCHEMA)
             .parquet(*paths)
             .groupBy("node")
-            .agg(F.expr("max_by(label, __epoch)").alias("label"))
+            .agg(F.min("label").alias("label"))
         )
 
     def _batch_docs(self, batch: DataFrame) -> DataFrame:
@@ -424,7 +436,14 @@ def ingest_documents(
     the same atomic commit — the corpus-bootstrap path (and the fixture
     for the ``lsh_index_candidates`` / ``engine_dedup_labels`` registry
     queries). Pass the returned ``table`` back in to apply FURTHER
-    epochs incrementally."""
+    epochs incrementally. Idempotent under redelivery: an epoch already
+    in ``committed_epochs`` skips BOTH the data apply and the aux write
+    (round-5 ADVICE: the old deterministic ``e{epoch}`` tag rmtree'd the
+    COMMITTED index dir on re-invocation, leaving the snapshot pointing
+    at deleted files while the data apply skipped; tags are now unique
+    per attempt, same as the engine's)."""
+    import uuid
+
     from .operators.merge import apply_delta_epoch
 
     if table is None:
@@ -434,18 +453,28 @@ def ingest_documents(
         table = IceliteTable.create(
             root, payload, n_buckets=n_buckets, key_cols=[id_col], overwrite=True
         )
+    index = LshBandIndex(table, text_col=text_col)
+    if epoch in table.committed_epochs():
+        return table, index  # redelivered epoch: data AND aux already committed
     # deterministic lsn: documents are unique per id, any constant works
     batch = docs.select(id_col, text_col).withColumns(
         {"op": F.lit("U"), "lsn": F.lit(epoch).cast("long")}
     )
-    index = LshBandIndex(table, text_col=text_col)
-    tag = f"e{epoch:06d}"
-    aux_add = {AUX_NAME: index.write_epoch(index.rows_for(batch, epoch), tag)}
+    tag = f"e{epoch:06d}-{uuid.uuid4().hex[:8]}"
+    aux_add = {
+        AUX_NAME: {
+            "files": index.write_epoch(index.rows_for(batch, epoch), tag),
+            "config": {"text_col": text_col},
+        }
+    }
     if dedup_labels:
         labels = DedupLabels(table, index, max_bucket=max_bucket)
-        aux_add[LABELS_AUX] = labels.write_epoch(
-            labels.delta_for_epoch(spark, batch, epoch), tag
-        )
+        aux_add[LABELS_AUX] = {
+            "files": labels.write_epoch(
+                labels.delta_for_epoch(spark, batch, epoch), tag
+            ),
+            "config": {"threshold": labels.threshold, "max_bucket": max_bucket},
+        }
     apply_delta_epoch(spark, table, batch, epoch=epoch, aux_add=aux_add)
     release_caches()
     return table, index

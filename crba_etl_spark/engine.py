@@ -257,7 +257,16 @@ class CDCEngine:
             band_files = self.lsh_index.write_epoch(
                 self.lsh_index.rows_for(persisted, epoch), tag
             )
-            aux_add = {AUX_NAME: band_files}
+            # config rides the aux entry (first write wins) so a later
+            # maintenance run — possibly a CLI engine constructed with
+            # defaults — rebuilds with the parameters the index was
+            # BUILT with, not silently different ones (round-5 ADVICE)
+            aux_add = {
+                AUX_NAME: {
+                    "files": band_files,
+                    "config": {"text_col": self.lsh_index.text_col},
+                }
+            }
             if self.dedup_labels is not None:
                 # computed against the PRE-commit snapshot (index/labels
                 # as of the previous epoch) and written before the data
@@ -267,12 +276,18 @@ class CDCEngine:
                 from .cache import tracked_caches
 
                 with tracked_caches():
-                    aux_add[LABELS_AUX] = self.dedup_labels.write_epoch(
-                        self.dedup_labels.delta_for_epoch(
-                            self.spark, persisted, epoch
+                    aux_add[LABELS_AUX] = {
+                        "files": self.dedup_labels.write_epoch(
+                            self.dedup_labels.delta_for_epoch(
+                                self.spark, persisted, epoch
+                            ),
+                            tag,
                         ),
-                        tag,
-                    )
+                        "config": {
+                            "threshold": self.dedup_labels.threshold,
+                            "max_bucket": self.dedup_labels.max_bucket,
+                        },
+                    }
             reduced = persisted
         try:
             if self.mode == "mor":
@@ -357,17 +372,29 @@ class CDCEngine:
             # rebuild whatever artifacts the TABLE records, not just what
             # this engine instance was constructed with — a maintenance
             # CLI run (`compact --rebuild-indexes`) must not silently
-            # no-op on a table whose ingest engine maintains the index
+            # no-op on a table whose ingest engine maintains the index —
+            # and with the CONFIG the artifact was built with (recorded
+            # in the aux entry at write time; a CLI engine constructed
+            # without lsh flags would otherwise re-index a non-default
+            # lsh_text_col table over the wrong column, round-5 ADVICE)
             from .band_index import AUX_NAME, LABELS_AUX, DedupLabels, LshBandIndex
 
             aux = self.table.aux()
             if AUX_NAME in aux or self.lsh_index is not None:
-                index = self.lsh_index or LshBandIndex(self.table)
+                icfg = aux.get(AUX_NAME, {}).get("config", {})
+                index = self.lsh_index or LshBandIndex(
+                    self.table, text_col=icfg.get("text_col", "text")
+                )
                 index.rebuild(self.spark)
                 if LABELS_AUX in aux or self.dedup_labels is not None:
-                    (
-                        self.dedup_labels or DedupLabels(self.table, index)
-                    ).compact(self.spark)
+                    lcfg = aux.get(LABELS_AUX, {}).get("config", {})
+                    labels = self.dedup_labels or DedupLabels(
+                        self.table,
+                        index,
+                        threshold=lcfg.get("threshold", 0.35),
+                        max_bucket=lcfg.get("max_bucket"),
+                    )
+                    labels.compact(self.spark)
 
     # --- batch replay / resume -------------------------------------------------
 

@@ -605,16 +605,32 @@ class IceliteTable:
     @staticmethod
     def _merged_aux(snap: dict, aux_add: dict | None) -> dict:
         """The snapshot's aux section with this commit's additions folded
-        in: ``aux_add`` maps artifact name → list of new relative file
-        paths (appended, deduplicated). Computed INSIDE the CAS retry
-        loop from the fresh snapshot, so a lost race re-appends against
-        whatever the winner recorded. The skip path (_already_committed)
-        never reaches this — a redelivered epoch adds no index files,
-        keeping the aux artifact exactly-once alongside the data."""
+        in: ``aux_add`` maps artifact name → either a list of new
+        relative file paths, or a dict ``{"files": [...], "config":
+        {...}, "rows_add": int}`` — ``config`` records the parameters the
+        artifact was BUILT with (first write wins; maintenance rebuilds
+        read it back instead of guessing defaults — round-5 ADVICE), and
+        ``rows_add`` accumulates into the artifact's ``rows_total``
+        counter (stale-fraction bookkeeping for index maintenance).
+        Computed INSIDE the CAS retry loop from the fresh snapshot, so a
+        lost race re-appends against whatever the winner recorded. The
+        skip path (_already_committed) never reaches this — a
+        redelivered epoch adds no index files, keeping the aux artifact
+        exactly-once alongside the data."""
         aux = {k: dict(v) for k, v in snap.get("aux", {}).items()}
-        for name, fl in (aux_add or {}).items():
+        for name, add in (aux_add or {}).items():
+            if isinstance(add, list):
+                add = {"files": add}
             ent = aux.setdefault(name, {"files": []})
-            ent["files"] = sorted(set(ent.get("files", [])) | set(fl))
+            ent["files"] = sorted(
+                set(ent.get("files", [])) | set(add.get("files", []))
+            )
+            if add.get("config") is not None and "config" not in ent:
+                ent["config"] = dict(add["config"])
+            if "rows_add" in add:
+                ent["rows_total"] = int(ent.get("rows_total", 0)) + int(
+                    add["rows_add"]
+                )
         return aux
 
     def commit_deltas(
@@ -874,13 +890,23 @@ class IceliteTable:
                 "recorded groups are persisted; re-run to resume"
             )
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1, aux_min_age_s: float = 600.0) -> dict:
         """Iceberg-style snapshot expiry: delete snapshot manifests older
         than the newest ``keep_last`` and any data directory no longer
         referenced by a surviving snapshot. Time-travel back to expired
         versions is gone; the live view is untouched. Safe against crash:
         manifests are deleted before data dirs, and an unreferenced dir
-        is also what a crashed commit leaves (cleaned the same way)."""
+        is also what a crashed commit leaves (cleaned the same way).
+
+        ``aux_min_age_s``: unreferenced index dirs YOUNGER than this are
+        kept — an in-flight ``apply_epoch`` writes its band/label files
+        to disk BEFORE the commit that references them, so a concurrent
+        maintenance sweep would otherwise delete files the imminent
+        commit then points at (round-5 ADVICE). The age threshold makes
+        maintenance safe to run alongside ingest as long as no single
+        commit's write→CAS gap exceeds it; pass ``0`` only when no
+        writer can be in flight (single-writer maintenance window)."""
+        import time as _time
         names = self.io.list_manifests()
         keep = set(names[-keep_last:])
         keep.add(self.io.read_current())
@@ -915,12 +941,21 @@ class IceliteTable:
                 aux_ref.update("/".join(p.split("/")[:3]) for p in ent.get("files", []))
         idx_root = os.path.join(self.root, "index")
         if os.path.isdir(idx_root):
+            now = _time.time()
             for nm in sorted(os.listdir(idx_root)):
                 for d in sorted(os.listdir(os.path.join(idx_root, nm))):
                     rel = f"index/{nm}/{d}"
-                    if rel not in aux_ref:
-                        shutil.rmtree(os.path.join(idx_root, nm, d))
-                        removed_dirs.append(rel)
+                    if rel in aux_ref:
+                        continue
+                    path = os.path.join(idx_root, nm, d)
+                    try:
+                        young = now - os.path.getmtime(path) < aux_min_age_s
+                    except OSError:
+                        young = False  # vanished/odd mtime: treat as sweepable
+                    if young:
+                        continue  # possibly an in-flight commit's pre-CAS write
+                    shutil.rmtree(path)
+                    removed_dirs.append(rel)
         return {"expired_snapshots": removed_snaps, "removed_data_dirs": removed_dirs}
 
     def compact(

@@ -185,8 +185,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     shingles and ran a 16-min groupBy, shuffling ~doc_length rows per
     doc back to one). Values are bit-identical to the grouped form:
     min over the same distinct shingle set, same h32/affine/modulus
-    arithmetic, so the SQL oracle is unchanged."""
-    hashed = docs.select(
+    arithmetic, so the SQL oracle is unchanged.
+
+    NULL-text documents are DROPPED (the grouped form's semantics: no
+    shingles → no group → no signature row). The row-local rewrite had
+    silently kept them as all-NULL signature rows, which band into
+    IDENTICAL hashes in every band (concat_ws skips nulls) — an
+    all-pairs k² candidate blow-up among null-text docs and a behavior
+    change (round-5 ADVICE)."""
+    hashed = docs.filter(F.col("text").isNotNull()).select(
         id_col,
         F.transform(shingle_array(), lambda s: h32(s)).alias("__h"),
     )

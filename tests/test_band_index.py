@@ -115,7 +115,13 @@ def test_maintenance_carries_aux_and_expiry_sweeps(spark, tmpdir_):
         "e000008-orphan",
     )
     assert os.path.isdir(os.path.join(root, "index/lsh/e000008-orphan"))
-    res = table.expire_snapshots(keep_last=1)
+    # default age threshold protects a just-written (possibly in-flight
+    # pre-commit) dir from a concurrent sweep (round-5 ADVICE)
+    res_young = table.expire_snapshots(keep_last=1)
+    assert "index/lsh/e000008-orphan" not in res_young["removed_data_dirs"]
+    assert os.path.isdir(os.path.join(root, "index/lsh/e000008-orphan"))
+    # single-writer maintenance window: sweep regardless of age
+    res = table.expire_snapshots(keep_last=1, aux_min_age_s=0.0)
     assert "index/lsh/e000008-orphan" in res["removed_data_dirs"]
     for p in files:
         assert os.path.exists(os.path.join(root, p))
