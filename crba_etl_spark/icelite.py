@@ -516,7 +516,8 @@ class IceliteTable:
         mark_epoch: bool = True,
         base_snapshot: dict | None = None,
         slice_files: list[str] | None = None,
-        aux_add: dict[str, list[str]] | None = None,
+        aux_add: dict | None = None,
+        expected_n_buckets: int | None = None,
     ) -> dict:
         """Copy-on-write commit: swap in the new files for affected
         buckets (absorbing any deltas they had), carry over the rest,
@@ -541,6 +542,15 @@ class IceliteTable:
             snap = self.snapshot()
             if self._already_committed(snap, epoch, slice_marker):
                 return snap  # already committed (raced redelivery) — no-op
+            if (
+                expected_n_buckets is not None
+                and int(snap.get("n_buckets", 32)) != expected_n_buckets
+            ):
+                raise CommitConflict(
+                    f"epoch {epoch}: bucket count changed "
+                    f"({expected_n_buckets} → {snap.get('n_buckets')}) since "
+                    "the rewrite was computed — re-read and re-merge"
+                )
             if base_snapshot is not None and snap["version"] != base_snapshot["version"]:
                 for b in affected:
                     bs = str(b)
@@ -642,15 +652,33 @@ class IceliteTable:
         slice_marker: str | None = None,
         mark_epoch: bool = True,
         slice_files: list[str] | None = None,
-        aux_add: dict[str, list[str]] | None = None,
+        aux_add: dict | None = None,
+        expected_n_buckets: int | None = None,
     ) -> dict:
         """Merge-on-read commit: append the epoch's delta files to each
         touched bucket; nothing is rewritten. Apply cost is O(batch).
-        Optimistic under concurrency (see :meth:`commit`)."""
+        Optimistic under concurrency (see :meth:`commit`).
+
+        ``expected_n_buckets``: the bucket count the delta files were
+        WRITTEN under. A concurrent rebucket changes the bucket function,
+        and appending files keyed (and value-stamped) by the OLD function
+        would silently corrupt every bucket-pruned read of those rows —
+        so a mismatch raises :class:`CommitConflict` to the caller, who
+        must re-bucket the batch and re-write (apply_delta_epoch's retry
+        loop does)."""
         for _attempt in range(8):
             snap = self.snapshot()
             if self._already_committed(snap, epoch, slice_marker):
                 return snap
+            if (
+                expected_n_buckets is not None
+                and int(snap.get("n_buckets", 32)) != expected_n_buckets
+            ):
+                raise CommitConflict(
+                    f"epoch {epoch}: bucket count changed "
+                    f"({expected_n_buckets} → {snap.get('n_buckets')}) since "
+                    "the delta files were written — re-bucket and re-write"
+                )
             deltas = {int(k): list(v) for k, v in snap.get("deltas", {}).items()}
             for b, fl in new_bucket_files.items():
                 deltas.setdefault(b, []).extend(fl)
@@ -684,7 +712,11 @@ class IceliteTable:
     # --- maintenance ---------------------------------------------------------
 
     def set_aux(
-        self, name: str, files: list[str], base_files: list[str]
+        self,
+        name: str,
+        files: list[str],
+        base_files: list[str],
+        extra: dict | None = None,
     ) -> dict:
         """REPLACE an aux artifact's file list (maintenance: index
         rebuild/compaction) — metadata-only commit with lost-update
@@ -692,7 +724,9 @@ class IceliteTable:
         computed FROM; if a concurrent commit appended to the artifact
         since, replacing would silently drop its rows, so the swap
         raises :class:`CommitConflict` to the caller (re-read, re-run)
-        instead — the same contract as compaction/rebucket."""
+        instead — the same contract as compaction/rebucket. ``extra``
+        overwrites additional entry keys (e.g. resetting ``rows_total``
+        after a rebuild); recorded ``config`` is preserved."""
         for _attempt in range(8):
             snap = self.snapshot()
             aux = {k: dict(v) for k, v in snap.get("aux", {}).items()}
@@ -703,7 +737,7 @@ class IceliteTable:
                     f"base ({len(cur)} vs {len(base_files)} files) — "
                     "re-read and re-run the rebuild"
                 )
-            aux[name] = {**aux.get(name, {}), "files": sorted(files)}
+            aux[name] = {**aux.get(name, {}), "files": sorted(files), **(extra or {})}
             try:
                 self._write_snapshot(
                     version=snap["version"] + 1,

@@ -87,6 +87,24 @@ def _no_constraint_propagation(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+def _materialize(df: DataFrame, reliable_dir: str | None) -> DataFrame:
+    """Round/lineage truncation point of the CC loops. Default:
+    ``localCheckpoint`` (executor-memory blocks — fast, but an executor
+    loss mid-loop kills the job on a real cluster). With
+    ``reliable_dir`` set, routes to a RELIABLE ``checkpoint()`` into
+    that directory (HDFS/object store on a cluster): executor loss
+    recovers from the checkpoint files, at the cost of a write per
+    round. Checkpoint files are cleaned by Spark's ContextCleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, or by
+    deleting the scratch dir after the pipeline (the engine passes a
+    dir under its own table root)."""
+    if reliable_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(reliable_dir)
+    return df.checkpoint(eager=True)
+
+
 def _edge_checksum(df: DataFrame) -> tuple[int, int]:
     """Order-insensitive edge-set fingerprint: (count, sum of per-edge
     int32 hashes as long — never overflows, id-magnitude-safe under
@@ -106,6 +124,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iters: int = 25,
+    reliable_checkpoint: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node, where ``component`` is the
     smallest node id in the node's connected component — a
@@ -117,7 +136,10 @@ def connected_components(
     singleton components; omit it to label edge endpoints only.
     Raises RuntimeError if ``max_iters`` rounds don't converge (a
     diameter that large means the large-star/small-star variant is the
-    right tool — see module docstring)."""
+    right tool — see module docstring). ``reliable_checkpoint``: a
+    checkpoint directory that makes each round's truncation survive
+    executor loss on a real cluster (see :func:`_materialize`);
+    default is the fast local form."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -129,13 +151,13 @@ def connected_components(
         universe = nodes.select(F.col(node_col).alias("node")).distinct()
     spark = edges.sparkSession
     sym = persist_tracked(sym)
-    # localCheckpoint (eager) both materializes the round AND truncates
-    # the logical plan — without truncation each round's plan embeds the
-    # previous round's whole tree several times over, and Catalyst
-    # re-analysis cost grows exponentially with rounds (measured: the
-    # star variant ground to a halt by round ~7 on a 120-node chain).
-    # On a cluster, swap for reliable checkpoint() if executor loss
-    # during the loop must be survivable.
+    # the per-round checkpoint (eager) both materializes the round AND
+    # truncates the logical plan — without truncation each round's plan
+    # embeds the previous round's whole tree several times over, and
+    # Catalyst re-analysis cost grows exponentially with rounds
+    # (measured: the star variant ground to a halt by round ~7 on a
+    # 120-node chain). reliable_checkpoint routes it to a durable
+    # checkpoint() for executor-loss-survivable cluster runs.
     with _no_constraint_propagation(spark):
         # entry materializations optimize the CALLER's full plan (see
         # _no_constraint_propagation); sym.count() runs BEFORE the
@@ -143,8 +165,9 @@ def connected_components(
         # attributed to (and freed with) a round
         sym.count()
         before = _persistent_rdd_ids(spark)
-        labels = (
-            universe.select("node", F.col("node").alias("label")).localCheckpoint()
+        labels = _materialize(
+            universe.select("node", F.col("node").alias("label")),
+            reliable_checkpoint,
         )
     prev_ids = _persistent_rdd_ids(spark) - before
     checksum = labels.agg(
@@ -155,11 +178,11 @@ def connected_components(
             F.col("b").alias("node"), "label"
         )
         before = _persistent_rdd_ids(spark)
-        new_labels = (
+        new_labels = _materialize(
             labels.union(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(F.min("label").alias("label")),
+            reliable_checkpoint,
         )
         cur_ids = _persistent_rdd_ids(spark) - before
         new_checksum = new_labels.agg(
@@ -182,6 +205,92 @@ def connected_components(
     )
 
 
+#: condensed-graph size below which the incremental merge runs its
+#: components on the DRIVER (union-find over collected edges) instead of
+#: the distributed star loop. The condensed graph is O(|new edges|) by
+#: construction — for realistic ingest batches a few thousand rows — and
+#: the star loop costs a FIXED ~8-12 Spark jobs (per-round checkpoints,
+#: checksum collects, broadcast exchanges) regardless of size: the
+#: dominant share of the dedup-labels per-epoch floor (round-5 VERDICT
+#: #1, BENCH/INDEX_OVERHEAD.md). Collecting ≤ this many fixed-width edge
+#: rows is a single job and megabytes on the driver; bigger graphs fall
+#: back to the distributed loop unchanged.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_union_find(edges: list[tuple]) -> dict:
+    """Union-find with union-by-min over collected edges: returns
+    {node: component minimum} for every node that appears. The root of
+    each tree is always its component's smallest member (each union
+    keeps the smaller root), so the labels are exactly what the
+    distributed components produce."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
+def _collect_edges_capped(
+    new_edges: DataFrame, src: str, dst: str, cap: int
+) -> tuple[list[tuple] | None, DataFrame]:
+    """(driver rows | None, materialized edge relation). The edge plan —
+    typically the caller's whole candidates+verify pipeline — executes
+    EXACTLY ONCE: persisted (tracked), counted, then collected from
+    cache. Never ``limit(cap).collect()``: CollectLimit's incremental
+    partition scaling re-executes the expensive subtree several times
+    over (measured: 50.7s vs 18.9s for the single execution on a 51k-doc
+    clique batch). Rows are None when the set exceeds ``cap``; the
+    caller's distributed fallback reuses the returned CACHED relation
+    instead of re-running the plan. Wrapped in the constraint-
+    propagation guard for the same Union-over-cached-relation optimizer
+    crash the checkpoints guard against."""
+    with _no_constraint_propagation(new_edges.sparkSession):
+        e_df = persist_tracked(
+            new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        n = e_df.count()
+    if n > cap:
+        return None, e_df
+    return [(r["a"], r["b"]) for r in e_df.collect()], e_df
+
+
+def _probe_labels(
+    lab: DataFrame, ids: set, extra_ids: set | None = None
+) -> dict:
+    """Current labels of ``ids ∪ extra_ids`` — ONE streamed pass over the
+    big labels relation against a broadcast id list (the only corpus-
+    touching job of the driver-side merge)."""
+    probe = sorted(ids | (extra_ids or set()))
+    if not probe:
+        return {}
+    spark = lab.sparkSession
+    import pyspark.sql.types as T
+
+    pdf = spark.createDataFrame(
+        [(x,) for x in probe], T.StructType([lab.schema["node"]])
+    )
+    return {
+        r["node"]: r["label"]
+        for r in lab.join(F.broadcast(pdf), "node").collect()
+    }
+
+
 def merge_components(
     labels: DataFrame,
     new_edges: DataFrame,
@@ -190,6 +299,8 @@ def merge_components(
     node_col: str = "node",
     label_col: str = "label",
     new_nodes: DataFrame | None = None,
+    driver_cc_max_edges: int | None = DRIVER_CC_MAX_EDGES,
+    reliable_checkpoint: str | None = None,
 ) -> DataFrame:
     """Fold NEW edges into an EXISTING component labeling without
     recomputing components over the union graph — the incremental step
@@ -213,19 +324,36 @@ def merge_components(
     lookup, then relabel by the old→new mapping) — no shuffle of the
     corpus-sized side anywhere. Cross-batch chains (new edges bridging
     several existing components transitively) close inside the
-    condensed components run."""
+    condensed components run.
+
+    ``driver_cc_max_edges``: when the distinct new-edge set fits under
+    this cap (the normal case — it is O(batch)), the condensed
+    components run on the DRIVER as a union-find over collected edges
+    and the endpoint/known lookups collapse into ONE streamed pass over
+    ``labels`` — identical output, ~2 Spark jobs instead of the star
+    loop's ~10 (round-5 VERDICT #1: the dedup-labels per-epoch floor).
+    ``None`` forces the distributed path."""
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")
     )
+    if driver_cc_max_edges is not None:
+        edges, e_df = _collect_edges_capped(new_edges, src, dst, driver_cc_max_edges)
+        if edges is not None:
+            return _merge_driver(
+                lab, edges, new_nodes, node_col, delta_only=False
+            )
+        # over the cap: reuse the materialized edge relation for the
+        # distributed path (the expensive plan already executed once)
+        new_edges, src, dst = e_df, "a", "b"
     # truncate lineage at the edge set — same rationale as
     # merge_components_delta (multiple consuming branches + broadcast
     # exchanges + per-action plan-string cost)
     with _no_constraint_propagation(new_edges.sparkSession):
-        e = (
+        e = _materialize(
             new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable_checkpoint,
         )
     ends = persist_tracked(
         e.select(F.col("a").alias("node"))
@@ -248,7 +376,9 @@ def merge_components(
         .join(F.broadcast(ep.withColumnRenamed("node", "b")), "b")
         .select(F.col("la").alias("id_a"), F.col("label").alias("id_b"))
     )
-    comp = connected_components_star(cond)
+    comp = connected_components_star(
+        cond, reliable_checkpoint=reliable_checkpoint
+    )
     mapping = F.broadcast(
         comp.filter(F.col("node") != F.col("label")).select(
             F.col("node").alias("_old"), F.col("label").alias("_new")
@@ -273,6 +403,82 @@ def merge_components(
     return out
 
 
+def _merge_driver(
+    lab: DataFrame,
+    edges: list[tuple],
+    new_nodes: DataFrame | None,
+    node_col: str,
+    delta_only: bool,
+) -> DataFrame:
+    """Driver-side incremental merge (small collected edge set). Spark
+    jobs: one labels probe (streamed big side × broadcast ids) + the
+    caller's final action over the relabel join — everything else is
+    Python over O(|edges| + |batch|) rows. Output contract identical to
+    the distributed paths (tested side by side)."""
+    import pyspark.sql.types as T
+
+    spark = lab.sparkSession
+    ends = {x for ab in edges for x in ab}
+    nn_ids: set | None = None
+    if new_nodes is not None:
+        nn_ids = {
+            r[0]
+            for r in new_nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .collect()
+        }
+    cur = _probe_labels(lab, ends, nn_ids)
+    # condense: substitute each endpoint by its current label (itself if
+    # unlabeled); union-find the condensed graph; labels of condensed
+    # minima ARE the union graph's minima (see merge_components)
+    mapping = {
+        old: new
+        for old, new in _driver_union_find(
+            [(cur.get(a, a), cur.get(b, b)) for a, b in edges]
+        ).items()
+        if new != old
+    }
+    node_f = lab.schema["node"]
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_f.dataType),
+            T.StructField("label", lab.schema["label"].dataType),
+        ]
+    )
+    local_rows = [
+        (x, mapping.get(x, x)) for x in sorted(ends) if x not in cur
+    ]
+    if nn_ids is not None:
+        local_rows += [
+            (x, x) for x in sorted(nn_ids) if x not in ends and x not in cur
+        ]
+    local = spark.createDataFrame(local_rows, out_schema)
+    if not mapping:
+        if delta_only:
+            return local
+        return lab.unionByName(local)
+    mdf = F.broadcast(
+        spark.createDataFrame(
+            sorted(mapping.items()),
+            T.StructType(
+                [
+                    T.StructField("_old", lab.schema["label"].dataType),
+                    T.StructField("_new", lab.schema["label"].dataType),
+                ]
+            ),
+        )
+    )
+    if delta_only:
+        changed = lab.join(mdf, lab["label"] == F.col("_old")).select(
+            "node", F.col("_new").alias("label")
+        )
+        return changed.unionByName(local)
+    updated = lab.join(mdf, lab["label"] == F.col("_old"), "left").select(
+        "node", F.coalesce("_new", "label").alias("label")
+    )
+    return updated.unionByName(local)
+
+
 def merge_components_delta(
     labels: DataFrame,
     new_edges: DataFrame,
@@ -281,6 +487,8 @@ def merge_components_delta(
     node_col: str = "node",
     label_col: str = "label",
     new_nodes: DataFrame | None = None,
+    driver_cc_max_edges: int | None = DRIVER_CC_MAX_EDGES,
+    reliable_checkpoint: str | None = None,
 ) -> DataFrame:
     """:func:`merge_components`, emitting ONLY the rows that change —
     the persisted-state form: a labels table stored as base + per-epoch
@@ -299,10 +507,20 @@ def merge_components_delta(
     Plan shape: the corpus-sized ``labels`` relation is only ever the
     STREAMED side of broadcast joins (endpoint lookup, relabel probe,
     known-node probe) — no corpus shuffle; everything broadcast is
-    O(|new_edges| + |batch|)."""
+    O(|new_edges| + |batch|).
+
+    ``driver_cc_max_edges``: see :func:`merge_components` — the same
+    driver-side fast path, emitting delta rows only."""
     lab = labels.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("label")
     )
+    if driver_cc_max_edges is not None:
+        edges, e_df = _collect_edges_capped(new_edges, src, dst, driver_cc_max_edges)
+        if edges is not None:
+            return _merge_driver(
+                lab, edges, new_nodes, node_col, delta_only=True
+            )
+        new_edges, src, dst = e_df, "a", "b"
     # TRUNCATE lineage at the edge set: it feeds several output branches
     # and broadcast exchanges, each of which re-executes the caller's
     # full candidate+verify pipeline (337 s vs ~20 s on a 2k-doc batch)
@@ -311,11 +529,11 @@ def merge_components_delta(
     # observed 540 s of single-threaded explainString per epoch).
     # localCheckpoint executes the subtree ONCE and leaves a leaf node.
     with _no_constraint_propagation(new_edges.sparkSession):
-        e = (
+        e = _materialize(
             new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable_checkpoint,
         )
     ends = persist_tracked(
         e.select(F.col("a").alias("node"))
@@ -335,7 +553,9 @@ def merge_components_delta(
         .join(F.broadcast(ep.withColumnRenamed("node", "b")), "b")
         .select(F.col("la").alias("id_a"), F.col("label").alias("id_b"))
     )
-    comp = connected_components_star(cond)
+    comp = connected_components_star(
+        cond, reliable_checkpoint=reliable_checkpoint
+    )
     mapping = F.broadcast(
         comp.filter(F.col("node") != F.col("label")).select(
             F.col("node").alias("_old"), F.col("label").alias("_new")
@@ -401,6 +621,7 @@ def connected_components_star(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iters: int = 40,
+    reliable_checkpoint: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction — same output contract as :func:`connected_components`
@@ -424,18 +645,20 @@ def connected_components_star(
         # the ENTRY checkpoint optimizes the caller's full plan (unions
         # over cached relations) — the one place the constraint-rewrite
         # crash can fire; every later round starts from this truncation
-        e = (
+        # truncate lineage per round — see the min-label loop for why
+        # this is load-bearing
+        e = _materialize(
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()  # truncate lineage per round — see the
-        )                       # min-label loop for why this is load-bearing
+            .distinct(),
+            reliable_checkpoint,
+        )
     prev_ids = _persistent_rdd_ids(spark) - before
 
     chk = _edge_checksum(e)
     for _ in range(max_iters):
         before = _persistent_rdd_ids(spark)
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _materialize(_small_star(_large_star(e)), reliable_checkpoint)
         cur_ids = _persistent_rdd_ids(spark) - before
         new_chk = _edge_checksum(new_e)
         # checksum equality screens; equal-size sets with an empty

@@ -153,6 +153,18 @@ def merge_epoch(
                 snap = table.snapshot()
                 if IceliteTable._already_committed(snap, epoch, slice_marker):
                     return _skip_stats(table, snap, epoch, slice_marker, mark_epoch)
+                if table.n_buckets() != n_buckets:
+                    # a REBUCKET raced in: the batch's bucket assignment
+                    # (and thus the affected-bucket set) is stale — redo
+                    # both under the new bucket function
+                    n_buckets = table.n_buckets()
+                    raw.unpersist()
+                    raw = reduced.withColumn(
+                        BUCKET_COL, bucket_expr(n_buckets, key_cols[0])
+                    ).persist()
+                    affected = {
+                        r[0] for r in raw.select(BUCKET_COL).distinct().collect()
+                    }
         raise CommitConflict(f"epoch {epoch}: merge lost 8 re-merge races")
     finally:
         raw.unpersist()
@@ -270,6 +282,7 @@ def _merge_attempt(
         base_snapshot=snap,
         slice_files=slice_files,
         aux_add=aux_add,
+        expected_n_buckets=n_buckets,
     )
     return stats
 
@@ -297,13 +310,20 @@ def apply_delta_epoch(
     scan of the affected buckets (reads only key + __lsn columns).
 
     ``slice_marker``/``mark_epoch``: see :func:`merge_epoch`.
+
+    Concurrency: the commit validates that the table's BUCKET COUNT is
+    still the one the delta files were written under — a rebucket
+    landing between the write and the commit would otherwise leave the
+    epoch's rows keyed by the old bucket function inside a table whose
+    readers prune by the new one (silent wrong reads). On that specific
+    conflict the files are re-written under the fresh bucketing and the
+    commit retried; a crashed attempt's dir is an unreferenced orphan.
     """
     snap = table.snapshot()
     if IceliteTable._already_committed(snap, epoch, slice_marker):
         return _skip_stats(table, snap, epoch, slice_marker, mark_epoch)
 
     t0 = time.monotonic()
-    n_buckets = table.n_buckets()
     key_cols = table.key_cols()
 
     evolved = merge_schemas(table.schema(), batch_payload_schema(reduced))
@@ -315,78 +335,92 @@ def apply_delta_epoch(
             + [f for f in reduced.schema.fields if f.name in ("op", "lsn")]
         ),
     )
-    delta = batch.select(
-        *payload_cols,
-        F.col("lsn").alias(LSN_COL),
-        (F.col("op") == "D").alias(DELETED_COL),
-        F.lit(epoch).cast("long").alias(EPOCH_COL),
-    ).withColumn(BUCKET_COL, bucket_expr(n_buckets, key_cols[0]))
+    for _attempt in range(8):
+        n_buckets = table.n_buckets()
+        delta = batch.select(
+            *payload_cols,
+            F.col("lsn").alias(LSN_COL),
+            (F.col("op") == "D").alias(DELETED_COL),
+            F.lit(epoch).cast("long").alias(EPOCH_COL),
+        ).withColumn(BUCKET_COL, bucket_expr(n_buckets, key_cols[0]))
 
-    obs = Observation(f"delta-epoch-{epoch}")
-    delta = delta.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows"),
-        F.coalesce(F.sum(F.col(DELETED_COL).cast("int")), F.lit(0)).alias("dels"),
-    )
-
-    version = snap["version"] + 1
-    new_files = table.write_merged(
-        delta, epoch=epoch, version=version, repartition=not pre_partitioned
-    )
-    m = obs.get
-
-    stale_count = 0
-    if quarantine_dir is not None:
-        affected = set(new_files.keys())
-        # applied high-watermark per key = max __lsn over base+deltas of
-        # the affected buckets: a column-pruned scan (3 columns reach the
-        # parquet reader) + two-phase hash agg — no full-row resolution
-        applied = (
-            table.read_stored(spark, buckets=affected)
-            .select(*key_cols, LSN_COL)
-            .groupBy(*key_cols)
-            .agg(F.max(LSN_COL).alias("applied_lsn"))
+        obs = Observation(f"delta-epoch-{epoch}-a{_attempt}")
+        delta = delta.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.col(DELETED_COL).cast("int")), F.lit(0)).alias("dels"),
         )
-        stale_rows = (
-            batch.join(applied, on=key_cols, how="inner")
-            .filter(F.col("lsn") <= F.col("applied_lsn"))
-            .select(
-                F.lit(epoch).alias("quarantine_epoch"),
-                "lsn",
-                "op",
-                *key_cols,
-                *[c for c in payload_cols if c not in key_cols],
-                "applied_lsn",
+
+        version = table.snapshot()["version"] + 1
+        new_files = table.write_merged(
+            delta, epoch=epoch, version=version, repartition=not pre_partitioned
+        )
+        m = obs.get
+
+        stale_count = 0
+        if quarantine_dir is not None:
+            affected = set(new_files.keys())
+            # applied high-watermark per key = max __lsn over base+deltas of
+            # the affected buckets: a column-pruned scan (3 columns reach the
+            # parquet reader) + two-phase hash agg — no full-row resolution
+            applied = (
+                table.read_stored(spark, buckets=affected)
+                .select(*key_cols, LSN_COL)
+                .groupBy(*key_cols)
+                .agg(F.max(LSN_COL).alias("applied_lsn"))
             )
-        )
-        sobs = Observation(f"stale-epoch-{epoch}")
-        stale_rows = stale_rows.observe(sobs, F.count(F.lit(1)).alias("n"))
-        stale_rows.write.mode("overwrite").parquet(f"{quarantine_dir}/epoch={epoch}")
-        stale_count = int(sobs.get["n"])
+            stale_rows = (
+                batch.join(applied, on=key_cols, how="inner")
+                .filter(F.col("lsn") <= F.col("applied_lsn"))
+                .select(
+                    F.lit(epoch).alias("quarantine_epoch"),
+                    "lsn",
+                    "op",
+                    *key_cols,
+                    *[c for c in payload_cols if c not in key_cols],
+                    "applied_lsn",
+                )
+            )
+            sobs = Observation(f"stale-epoch-{epoch}-a{_attempt}")
+            stale_rows = stale_rows.observe(sobs, F.count(F.lit(1)).alias("n"))
+            stale_rows.write.mode("overwrite").parquet(
+                f"{quarantine_dir}/epoch={epoch}"
+            )
+            stale_count = int(sobs.get["n"])
 
-    stats = {
-        "epoch": epoch,
-        "skipped": False,
-        "mode": "mor",
-        "keys_in_batch": int(m["rows"]),
-        "affected_buckets": sorted(new_files.keys()),
-        "n_affected_buckets": len(new_files),
-        "rows_out": int(m["rows"]),
-        "rows_applied": int(m["rows"]) - stale_count,
-        "rows_carried": 0,
-        "stale_quarantined": stale_count,
-        "tombstones_in_table": int(m["dels"]),
-        "version": version,
-        "apply_s": round(time.monotonic() - t0, 3),
-    }
-    table.commit_deltas(
-        epoch=epoch,
-        new_bucket_files=new_files,
-        schema=evolved,
-        stats={k: v for k, v in stats.items() if k != "affected_buckets"},
-        slice_marker=slice_marker,
-        mark_epoch=mark_epoch,
-        slice_files=slice_files,
-        aux_add=aux_add,
-    )
-    return stats
+        stats = {
+            "epoch": epoch,
+            "skipped": False,
+            "mode": "mor",
+            "keys_in_batch": int(m["rows"]),
+            "affected_buckets": sorted(new_files.keys()),
+            "n_affected_buckets": len(new_files),
+            "rows_out": int(m["rows"]),
+            "rows_applied": int(m["rows"]) - stale_count,
+            "rows_carried": 0,
+            "stale_quarantined": stale_count,
+            "tombstones_in_table": int(m["dels"]),
+            "version": version,
+            "apply_s": round(time.monotonic() - t0, 3),
+        }
+        try:
+            table.commit_deltas(
+                epoch=epoch,
+                new_bucket_files=new_files,
+                schema=evolved,
+                stats={k: v for k, v in stats.items() if k != "affected_buckets"},
+                slice_marker=slice_marker,
+                mark_epoch=mark_epoch,
+                slice_files=slice_files,
+                aux_add=aux_add,
+                expected_n_buckets=n_buckets,
+            )
+        except CommitConflict:
+            # a rebucket raced in — the written files are keyed by the
+            # old bucket function; re-bucket and re-write from fresh state
+            snap = table.snapshot()
+            if IceliteTable._already_committed(snap, epoch, slice_marker):
+                return _skip_stats(table, snap, epoch, slice_marker, mark_epoch)
+            continue
+        return stats
+    raise CommitConflict(f"epoch {epoch}: delta apply lost 8 rebucket races")

@@ -219,3 +219,90 @@ def test_cc_storage_is_o1_in_rounds(spark):
     retained = _persistent_rdd_ids(spark) - before
     assert len(retained) <= 2, retained
     release_caches()
+
+
+def test_merge_driver_path_equals_distributed(spark):
+    """Round-6: the driver-side union-find fast path (small condensed
+    graphs — the per-epoch norm) must produce byte-identical labelings
+    to the distributed star path, for both the full and the delta form,
+    and the cap must fall back to the distributed path when exceeded."""
+    from crba_etl_spark.operators.graph import (
+        merge_components,
+        merge_components_delta,
+    )
+
+    labels = {1: 1, 2: 1, 5: 5, 6: 5, 10: 10, 11: 10, 20: 20}
+    new_edges = [(2, 100), (100, 6), (11, 100), (30, 31)]
+    new_nodes = [100, 30, 31, 40, 20]  # 20 overlaps the labeled universe
+    lab = spark.createDataFrame(list(labels.items()), "node long, label long")
+    e = spark.createDataFrame(new_edges, "id_a long, id_b long")
+    n = spark.createDataFrame([(x,) for x in new_nodes], "node long")
+    for fn in (merge_components, merge_components_delta):
+        driver = {
+            r.node: r.label
+            for r in fn(lab, e, new_nodes=n, driver_cc_max_edges=10_000).collect()
+        }
+        dist = {
+            r.node: r.label
+            for r in fn(lab, e, new_nodes=n, driver_cc_max_edges=None).collect()
+        }
+        fallback = {
+            r.node: r.label
+            for r in fn(lab, e, new_nodes=n, driver_cc_max_edges=1).collect()
+        }
+        assert driver == dist == fallback, fn.__name__
+
+
+def test_merge_driver_no_edges_and_string_ids(spark):
+    from crba_etl_spark.operators.graph import merge_components_delta
+
+    lab = spark.createDataFrame([("a", "a"), ("b", "a")], "node string, label string")
+    e = spark.createDataFrame([], "id_a string, id_b string")
+    n = spark.createDataFrame([("b",), ("z",)], "node string")
+    delta = {
+        r.node: r.label for r in merge_components_delta(lab, e, new_nodes=n).collect()
+    }
+    assert delta == {"z": "z"}  # known node keeps its group, new one is a singleton
+
+
+def test_reliable_checkpoint_option(spark, tmpdir_):
+    """Round-6 (r5 VERDICT #5): reliable_checkpoint= routes the CC
+    loops' lineage truncation to durable checkpoint() files — identical
+    labels, and the checkpoint dir actually receives data (the
+    cluster-survivability evidence localCheckpoint can't give)."""
+    import os
+
+    from crba_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        merge_components_delta,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)] + [(50, 51)], "id_a long, id_b long"
+    )
+    want = {r.node: r.label for r in connected_components(e).collect()}
+    ckpt = os.path.join(tmpdir_, "cc_ckpt")
+    got = {
+        r.node: r.label
+        for r in connected_components(e, reliable_checkpoint=ckpt).collect()
+    }
+    assert got == want
+    got_star = {
+        r.node: r.label
+        for r in connected_components_star(e, reliable_checkpoint=ckpt).collect()
+    }
+    assert got_star == want
+    assert any(os.scandir(ckpt))  # durable files were written
+    # the incremental merge's distributed fallback threads it through too
+    lab = spark.createDataFrame([(1, 1), (2, 1)], "node long, label long")
+    delta = {
+        r.node: r.label
+        for r in merge_components_delta(
+            lab,
+            spark.createDataFrame([(2, 3)], "id_a long, id_b long"),
+            driver_cc_max_edges=None,
+            reliable_checkpoint=ckpt,
+        ).collect()
+    }
+    assert delta == {3: 1}
