@@ -491,14 +491,28 @@ def full_bench() -> None:
     # VERDICT #8) — separate fields, not part of the headline total
     aligned = aligned_compare(spark, base)
 
-    # 3. operator queries at the bench SF
+    # 3. operator queries at the bench SF — MEDIAN of several runs per
+    # query (round-5 VERDICT: single samples made sub-second moves like
+    # minhash 4.88→6.03s unadjudicable engine-vs-host from the artifact
+    # alone; the per-query sample arrays now ride the artifact so any
+    # move carries its own evidence). Tracked caches are released
+    # between reps so every sample pays the full plan, not rep 1's
+    # in-memory signatures.
+    from crba_etl_spark.cache import release_caches
+
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    query_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            samples.append(round(time.monotonic() - t0, 3))
+            release_caches()
+        query_samples[name] = samples
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -508,6 +522,8 @@ def full_bench() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_estimator": f"median_of_{reps}",
+                "query_samples": query_samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": headline_rate,
                 "cdc_rate_estimator": (
