@@ -190,6 +190,12 @@ class LshBandIndex:
             sizes = eb_all.groupBy("band_idx", "band_hash").agg(
                 F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__rep")
             )
+            if return_oversized:
+                # sizes feeds the cap filter AND the star/mem relations:
+                # persisting it (one small row per bucket) keeps the
+                # O(index) scan+agg to a single execution per epoch —
+                # re-probe bookkeeping must never add a second index scan
+                sizes = persist_tracked(sizes)
             big = sizes.filter(F.col("__n") > max_bucket)
             eb = (
                 eb_all.join(sizes, ["band_idx", "band_hash"])
@@ -331,11 +337,16 @@ class DedupLabels:
         #: into ~2×10¹⁰ candidate pairs). The historical footgun — a
         #: member of a FALSE-POSITIVE-dominated bucket whose rep edge
         #: failed verification lost its would-have-verified edges to
-        #: other members, fragmenting groups — is closed by the
-        #: verification-aware re-probe (``reprobe`` alternates per
-        #: failed member, text_dedup.reprobe_star_failures), which costs
-        #: nothing when every rep edge verifies (genuine cliques).
-        #: ``None`` keeps exact all-pairs closure semantics.
+        #: other members, fragmenting groups — is closed (mostly) by the
+        #: verification-aware re-probe: failed members re-pair with a
+        #: per-bucket pseudo-random panel, so a member of a genuine
+        #: subgroup occupying fraction q of its bucket reconnects with
+        #: probability 1-(1-q)^reprobe. The residual is SMALL but real
+        #: (measured 37/22053 verified pairs on the streaming-generator
+        #: corpus, pinned <1% in tests) and confined to pairs whose ONLY
+        #: shared buckets are oversized; pairs sharing any small bucket
+        #: stay exact. ``None`` restores exact all-pairs closure
+        #: semantics at O(n²)-per-bucket risk.
         self.max_bucket = max_bucket
         #: probe-panel size for failed star edges; 0 disables re-probe
         #: (restoring the pre-round-6 capped semantics)
@@ -399,7 +410,6 @@ class DedupLabels:
             jaccard_verify_pairs,
             minhash_lsh_candidates,
             probe_panel,
-            reprobe_star_failures,
         )
 
         bd_all = self._batch_docs(batch)
@@ -426,36 +436,44 @@ class DedupLabels:
         nn_out = minhash_lsh_candidates(
             bd, max_bucket=self.max_bucket, return_oversized=reprobing
         )
-        panel = star = None
+        mem = star = None
         if reprobing:
             nx_pairs, mem_x, star_x = nx_out
             nn_pairs, mem_n, star_n = nn_out
             # oversized buckets can coincide across the two sides (same
-            # band key in the batch and the index): one merged panel
-            # probes the union membership
+            # band key in the batch and the index): the star edges and
+            # (lazily, only on failure) the probe membership merge
             star = star_x.unionByName(star_n)
-            panel = persist_tracked(
-                probe_panel(
-                    mem_x.unionByName(mem_n).select("bkey", "doc_id"),
-                    panel_size=self.reprobe,
-                )
-            )
+            mem = mem_x.unionByName(mem_n).select("bkey", "doc_id")
         else:
             nx_pairs, nn_pairs = nx_out, nn_out
+        from .operators.graph import _materialize
+
         nx = nx_pairs.filter(F.col("new_id") != F.col("existing_id")).select(
             F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
         )
         nn = nn_pairs.select("id_a", "id_b")
-        cand = persist_tracked(nx.union(nn).distinct())
+        from .operators.graph import _no_constraint_propagation
+
+        # cand and docs_v are TRUNCATION points (checkpoint, not persist):
+        # each feeds several downstream consumers, and a persisted
+        # relation only dedupes EXECUTION — Catalyst re-analyzes its full
+        # logical subtree in every consumer, and those subtrees multiply
+        # through the verify/re-probe join levels (observed 3×10⁷-char
+        # plans per epoch with persist-only). Both are materialized at
+        # this point of the epoch anyway. The guard covers the Spark
+        # Union-over-cached-relation constraint-rewrite crash (see
+        # operators.graph._no_constraint_propagation) — both are unions
+        # whose branches reuse tracked-persisted relations.
+        with _no_constraint_propagation(spark):
+            cand = _materialize(
+                nx.union(nn).distinct(), self.reliable_checkpoint
+            )
         ids = (
             cand.select(F.col("id_a").alias("doc_id"))
             .union(cand.select(F.col("id_b").alias("doc_id")))
+            .distinct()
         )
-        if panel is not None:
-            # re-probe partners need stored text too — fold their ids
-            # into the same pruned read instead of a second scan
-            ids = ids.union(panel.select(F.col("probe_id").alias("doc_id")))
-        ids = ids.distinct()
         # verification corpus: batch text (an updated doc verifies
         # against its CURRENT text) + candidate partners' stored text,
         # scanned only in the buckets the partners live in (distinct
@@ -488,9 +506,11 @@ class DedupLabels:
             )
             .join(F.broadcast(batch_ids), "doc_id", "left_anti")
         )
-        docs_v = persist_tracked(
-            bd.union(ex_docs).join(F.broadcast(ids), "doc_id")
-        )
+        with _no_constraint_propagation(spark):
+            docs_v = _materialize(
+                bd.union(ex_docs).join(F.broadcast(ids), "doc_id"),
+                self.reliable_checkpoint,
+            )
         # the verify pipeline (shingle joins over candidate partners) is
         # the expensive subtree; merge_components_delta materializes its
         # edge-set input exactly once (driver collect or checkpoint)
@@ -499,17 +519,84 @@ class DedupLabels:
         )
         pairs = verified.select("id_a", "id_b")
         if star is not None:
-            # materialize the verification ONCE before it feeds two
-            # branches of the same plan (the pairs union and the failed-
-            # star anti-join): a cold cache can otherwise compute the
-            # expensive verify join twice within a single job
+            # materialize the verification ONCE (it feeds the pairs union
+            # and the failed-star anti-join), then check for failures.
+            # The check runs ONLY over cached relations (star derives
+            # from the persisted signatures/bands/sizes — no index scan,
+            # no shingle pass), so on a genuine-clique corpus — where
+            # every rep edge verifies — the safe default costs one cheap
+            # anti-join job and nothing else. Probe membership, panel
+            # and partner text are built ONLY when a failure exists.
             verified.count()
-            probes = reprobe_star_failures(verified, star, panel)
-            pairs = pairs.union(
-                jaccard_verify_pairs(
-                    docs_v, probes, threshold=self.threshold
-                ).select("id_a", "id_b")
+            vnorm = verified.select(
+                F.least("id_a", "id_b").alias("na"),
+                F.greatest("id_a", "id_b").alias("nb"),
+            ).distinct()
+            # failed and probes are TRUNCATION points, not mere persists:
+            # the failure path nests verified/star/panel subtrees through
+            # several join levels, and every level doubles the subtree's
+            # occurrences in downstream plans — caching dedupes execution
+            # but Catalyst still ANALYZES the full tree (observed: a
+            # 7×10⁸-char plan string on the bench corpus). Checkpointing
+            # these two small relations keeps every downstream plan
+            # shallow; both are materialized here anyway (the count / the
+            # probe-bucket collect).
+            failed = _materialize(
+                star.select(
+                    "bkey",
+                    "member",
+                    F.least("member", "rep").alias("na"),
+                    F.greatest("member", "rep").alias("nb"),
+                )
+                .join(vnorm, ["na", "nb"], "left_anti")
+                .select("bkey", "member"),
+                self.reliable_checkpoint,
             )
+            if failed.count() > 0:
+                fmem = mem.join(
+                    F.broadcast(failed.select("bkey").distinct()), "bkey"
+                )
+                panel = probe_panel(fmem, panel_size=self.reprobe)
+                probes = _materialize(
+                    failed.join(panel, "bkey")
+                    .filter(F.col("probe_id") != F.col("member"))
+                    .select(
+                        F.least("member", "probe_id").alias("id_a"),
+                        F.greatest("member", "probe_id").alias("id_b"),
+                    )
+                    .distinct(),
+                    self.reliable_checkpoint,
+                )
+                ids2 = (
+                    probes.select(F.col("id_a").alias("doc_id"))
+                    .union(probes.select(F.col("id_b").alias("doc_id")))
+                    .distinct()
+                )
+                buckets2 = {
+                    r[0]
+                    for r in ids2.select(
+                        F.pmod(F.hash(conv), F.lit(self.table.n_buckets()))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                ex2 = (
+                    self.table.read_resolved(spark, buckets=buckets2)
+                    .filter(~F.col("__deleted"))
+                    .select(
+                        F.concat_ws("#", *kc).alias("doc_id"),
+                        F.col(self.index.text_col).alias("text"),
+                    )
+                    .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+                )
+                docs_v2 = bd.union(ex2).join(F.broadcast(ids2), "doc_id")
+                pairs = pairs.union(
+                    jaccard_verify_pairs(
+                        docs_v2, probes, threshold=self.threshold
+                    ).select("id_a", "id_b")
+                )
         pairs = pairs.union(exact_edges)
         delta = merge_components_delta(
             prev,

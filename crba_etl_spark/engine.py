@@ -119,11 +119,13 @@ class CDCEngine:
         representative star edges — O(batch) candidates under
         shared-boilerplate corpora. ON BY DEFAULT (``"auto"`` →
         band_index.DEFAULT_MAX_BUCKET) since round 6: failed star edges
-        are re-probed against a per-bucket alternate panel, closing the
-        group-fragmentation footgun that used to make the cap opt-in
-        (see band_index.DedupLabels / text_dedup.reprobe_star_failures).
-        Pass ``None`` for exact all-pairs semantics (O(n²) risk on
-        shared-boilerplate corpora).
+        are re-probed against a per-bucket alternate panel, closing MOST
+        of the group-fragmentation footgun that used to make the cap
+        opt-in (see band_index.DedupLabels — pairs sharing any small
+        bucket stay exact; pairs confined to oversized buckets keep a
+        small probabilistic residual, pinned <1% in tests). Pass
+        ``None`` for exact all-pairs closure semantics (O(n²)-per-bucket
+        risk on shared-boilerplate corpora).
 
         ``stale_rebuild_threshold``: the index write path is append-only
         (a document UPDATE appends new band rows; the old ones stay and

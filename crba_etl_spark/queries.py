@@ -1429,6 +1429,81 @@ SELECT node AS doc_id, min(root) AS group_id FROM walk GROUP BY 1
 """
 
 
+def q_dedup_keepers(spark, sf_dir):
+    """KEEPER SELECTION — the step that turns near-dup groups into a
+    curated corpus (round 6): every document gets its transitive group
+    (the `dedup_groups` closure) and each group keeps exactly ONE member
+    — the highest `quality_score`, ties to the smallest doc_id. Output
+    (doc_id, group_id, quality, is_keeper). Plan shape: the groups/
+    quality relations join on the uniform doc_id key and the keeper rank
+    is a window per GROUP — group sizes are bounded by dedup-cluster
+    size (tiny in practice), so no skewed sort; at 100 TB this is one
+    extra exchange on group_id over rows already in hand."""
+    from .operators.graph import connected_components
+    from .operators.text_analysis import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = text_dedup.jaccard_verify_pairs(
+        docs, text_dedup.minhash_lsh_candidates(docs), threshold=0.35
+    )
+    cc = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    groups = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        groups.join(q, "doc_id")
+        .withColumn("is_keeper", F.row_number().over(w) == 1)
+        .select("doc_id", "group_id", "quality", "is_keeper")
+    )
+
+
+def _sql_dedup_keepers():
+    # the groups closure verbatim from _sql_dedup_groups + the shared
+    # quality formula (one definition, cannot drift) + the keeper window
+    return f"""
+WITH RECURSIVE {_sql_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.35
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT s.b, w.root FROM walk w JOIN sym s ON s.a = w.node
+),
+grp AS (SELECT node AS doc_id, min(root) AS group_id FROM walk GROUP BY 1),
+t AS ({_SQL_QUALITY_T_CTE}),
+q AS (SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality FROM t)
+SELECT g.doc_id, g.group_id, q.quality,
+       row_number() OVER (
+         PARTITION BY g.group_id ORDER BY q.quality DESC, g.doc_id ASC
+       ) = 1 AS is_keeper
+FROM grp g JOIN q USING (doc_id)
+"""
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash Hamming-radius search, sub-quadratic (byte-block
     bucketing); COMPLETE for radius 3 — the oracle computes the same set
@@ -2939,6 +3014,11 @@ def registry() -> dict[str, tuple]:
     similarity — so no family is absent from the driver record. Redundant twins and labeled quadratic baselines sit past the
     cap; every entry (both halves) is still oracle-compared on every
     pytest run by the driver-replica gate (tests/test_entry_contract.py).
+
+    Round 6 inserts `dedup_keepers` (keeper selection — groups →
+    curated corpus) into the audited window beside `dedup_groups`;
+    `semantic_dedup_groups` moves to position 51 (replica-gated) — the
+    embedding family keeps four audited reps (cosine/IVF/LSH/near-dup).
     """
     return {
         # --- CDC / temporal -------------------------------------------
@@ -2994,6 +3074,7 @@ def registry() -> dict[str, tuple]:
         "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
         "minhash_lsh_candidates": (q_minhash_lsh_candidates, _sql_minhash_lsh()),
         "dedup_groups": (q_dedup_groups, _sql_dedup_groups()),
+        "dedup_keepers": (q_dedup_keepers, _sql_dedup_keepers()),
         # engine-maintained band index ≡ fresh recompute: same oracle as
         # incremental_near_dup (the index must hold exactly those bands)
         "lsh_index_candidates": (q_lsh_index_candidates, _sql_incremental_near_dup()),

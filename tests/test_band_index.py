@@ -257,7 +257,15 @@ def test_streaming_dedup_labels_slicewise(spark, tmpdir_):
     over FINAL text shares a label (completeness — slices can only
     COARSEN grouping, since intermediate winners' texts add edges under
     the documented monotone semantics, never remove them), and a
-    fresh-checkpoint redelivery appends neither label nor band files."""
+    fresh-checkpoint redelivery appends neither label nor band files.
+
+    The engine runs in EXACT mode (dedup_max_bucket=None) because the
+    strict every-verified-pair property is exact mode's contract: this
+    corpus has band buckets of up to ~170 members, and the capped
+    default trades a small probabilistic pair recall inside oversized
+    buckets (measured 37/22053 pairs here) for the O(n²) bound — that
+    weaker default contract is pinned separately in
+    test_round6_fixes.py::test_capped_default_residual_is_bounded."""
     from crba_etl_spark.band_index import LABELS_AUX, DedupLabels
     from crba_etl_spark.gen import StreamSpec, generate_stream
     from crba_etl_spark.streaming.tail import stream_apply
@@ -268,7 +276,7 @@ def test_streaming_dedup_labels_slicewise(spark, tmpdir_):
     )
     eng = CDCEngine(
         spark, os.path.join(tmpdir_, "t"), n_buckets=8, mode="mor",
-        dedup_labels=True,
+        dedup_labels=True, dedup_max_bucket=None,
     )
     q = stream_apply(
         spark, eng, sdir,

@@ -349,3 +349,66 @@ def test_stale_fraction_below_threshold_no_rebuild(spark, tmpdir_):
     eng.compact()
     assert abs(eng.index_stale_frac() - 1 / 3) < 1e-9  # post-fold estimate
     assert set(eng.table.aux()[AUX_NAME]["files"]) == files_before
+
+
+def test_capped_default_residual_is_bounded(spark, tmpdir_):
+    """The DEFAULT (max_bucket=64 + re-probe) contract, quantified on a
+    corpus with genuinely oversized mixed buckets (the streaming
+    generator's shared-template texts, buckets up to ~170 members):
+
+    - every verified pair whose docs share at least one SMALL band
+      bucket is labeled together (exactness outside the cap);
+    - the overall residual — verified pairs whose endpoints carry
+      different labels — stays a small fraction (re-probe recovers most
+      oversized-bucket failures; the remainder is the documented
+      probabilistic trade for the O(n²)-clique bound).
+    """
+    from crba_etl_spark.gen import StreamSpec, generate_stream
+
+    sdir = os.path.join(tmpdir_, "stream")
+    generate_stream(
+        sdir, StreamSpec(seed=13, n_events=2000, n_epochs=2, evolve_epoch=None)
+    )
+    eng = CDCEngine(
+        spark, os.path.join(tmpdir_, "t"), n_buckets=8, mode="mor",
+        dedup_labels=True,  # capped default
+    )
+    eng.replay(sdir)
+    labels = DedupLabels(eng.table, eng.lsh_index)
+    lab = {r["node"]: r["label"] for r in labels.read(spark).collect()}
+    final = eng.read_final().select(
+        F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    cand = text_dedup.minhash_lsh_candidates(final)
+    pairs = text_dedup.jaccard_verify_pairs(final, cand).collect()
+    assert len(pairs) > 1000
+    mismatched = [
+        (r["id_a"], r["id_b"]) for r in pairs if lab[r["id_a"]] != lab[r["id_b"]]
+    ]
+    assert len(mismatched) / len(pairs) < 0.01, (
+        f"{len(mismatched)}/{len(pairs)} verified pairs unlabeled-together"
+    )
+    # exactness outside the cap: pairs sharing a SMALL bucket always agree
+    sig = text_dedup.minhash_signatures(final)
+    bands = text_dedup._band_rows(sig)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    small = bands.join(
+        sizes.filter(F.col("n") <= 64), ["band_idx", "band_hash"]
+    )
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    from crba_etl_spark.cache import release_caches
+
+    release_caches()
+    assert not (set(mismatched) & small_pairs)
