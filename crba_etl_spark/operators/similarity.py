@@ -18,6 +18,7 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 
 from ..cache import persist_tracked
+from ..spread import spread_compute
 
 #: random-hyperplane LSH parameters (sign-bit signatures); shared with
 #: the SQL oracle through :func:`hyperplane` literals
@@ -67,13 +68,15 @@ def cosine_topk(
 
     Plan shape: broadcast 1-row query → zip_with/aggregate per row (one
     scan, no shuffle except the final top-k), `round(6)` for stable
-    cross-engine comparison.
+    cross-engine comparison. The zip_with/aggregate lambdas are
+    CodegenFallback (interpreted), so the scoring pass is spread off the
+    scan's split count first (no-op at scale, see spread.py).
     """
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         _as_double(F.col(vec_col)).alias("qv")
     )
     scored = (
-        emb.filter(F.col(id_col) != query_vec_id)
+        spread_compute(emb.filter(F.col(id_col) != query_vec_id))
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
@@ -149,7 +152,7 @@ def kmeans_fit(
 
     ``n_cells=None`` auto-sizes by the √n rule (:func:`auto_cells`) —
     one count() job, then sizing follows the table."""
-    e = emb.select(
+    e = spread_compute(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
     if n_cells is None:
@@ -188,7 +191,7 @@ def ivf_assign(
     cell is the partition key the table is written under, so an ANN probe
     scans exactly one cell's partitions."""
     cents = kmeans_fit(emb, n_cells, iters, id_col, vec_col)
-    e = emb.select(
+    e = spread_compute(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
     return (
@@ -266,7 +269,9 @@ def hyperplane_bands(
     into ``n_bands`` bands. One scan, pure JVM arithmetic
     (``zip_with``/``aggregate`` dot products against literal plane
     vectors) — a fixed-width row per vector. Size the widths with
-    :func:`lsh_params` as the table grows."""
+    :func:`lsh_params` as the table grows. The plane dot products are
+    interpreted lambdas — spread off the scan split count first."""
+    emb = spread_compute(emb)
     v = _as_double(F.col(vec_col))
     band_structs = []
     for b in range(n_bands):
@@ -381,7 +386,7 @@ def ivf_topk(
     updates + an orderable probe-cell expression), so the DuckDB oracle
     replays the identical centroids, probe list and result."""
     cents = kmeans_fit(emb, n_cells, iters, id_col, vec_col)
-    e = emb.select(
+    e = spread_compute(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
     assign = (

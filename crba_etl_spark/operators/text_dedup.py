@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..cache import persist_tracked
+from ..spread import spread_compute
 
 #: MinHash parameters — shared with the SQL oracle (queries.py)
 MINHASH_P = 1_000_000_007
@@ -58,8 +59,15 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     :func:`shingle_array`, so per-doc distinctness is free (row-local) —
     no shuffle; the old ``explode(...).distinct()`` form shuffled the
     whole exploded relation (~doc_length rows per doc) to deduplicate
-    keys that were already unique within each row's array."""
-    return docs.select(id_col, F.explode(shingle_array(text_col)).alias("sh"))
+    keys that were already unique within each row's array.
+
+    The array build (``transform`` + ``array_distinct`` lambdas) is
+    CodegenFallback — interpreted, ~µs per element — so its parallelism
+    must not be pinned to the scan's split count (a single-row-group
+    file = one task): :func:`spread_compute` on the narrow projection
+    first (no-op at corpus scale, see spread.py)."""
+    base = spread_compute(docs.select(id_col, text_col))
+    return base.select(id_col, F.explode(shingle_array(text_col)).alias("sh"))
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -147,7 +155,7 @@ def jaccard_verify_pairs(
     pairs with an empty intersection are dropped (as the old inner
     join did) and jaccard is rounded to 6 places for oracle
     portability."""
-    doc_sh = docs.select(
+    doc_sh = spread_compute(docs.select(id_col, "text")).select(
         id_col, shingle_array().alias("sh_arr")
     ).withColumn("n_sh", F.size("sh_arr"))
     da = doc_sh.select(
@@ -179,34 +187,52 @@ def jaccard_verify_pairs(
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """K=16 MinHash signature columns s0..s15 per document.
 
-    Computed ROW-LOCALLY: the distinct-shingle array is hashed once per
-    row and each signature slot is an ``array_min`` over an affine
-    rehash of that array — ZERO shuffles (the old form exploded
-    shingles and ran a 16-min groupBy, shuffling ~doc_length rows per
-    doc back to one). Values are bit-identical to the grouped form:
-    min over the same distinct shingle set, same h32/affine/modulus
-    arithmetic, so the SQL oracle is unchanged.
+    Computed as a fully CODEGEN'D explode → hash → two-phase hash-agg
+    pipeline: positions explode from ``sequence``, each 5-gram is
+    ``substr``'d and h32-hashed as a flat column expression, and the 16
+    signature slots are ``min((a·h+b) mod P)`` aggregates with map-side
+    partial combine, so the shuffle carries one 17-column row per doc
+    per map partition. The previous row-local form (``transform`` /
+    ``array_min`` lambdas over a distinct-shingle array) produced the
+    identical values but higher-order-function lambdas are
+    CodegenFallback — interpreted, allocation-heavy evaluation measured
+    at ~86 µs per shingle (~31 s of the 36 s sf1.0 bench query, guide
+    §1/§4.1: prefer codegen'd built-ins over interpreted per-element
+    lambdas).
 
-    NULL-text documents are DROPPED (the grouped form's semantics: no
-    shingles → no group → no signature row). The row-local rewrite had
-    silently kept them as all-NULL signature rows, which band into
-    IDENTICAL hashes in every band (concat_ws skips nulls) — an
-    all-pairs k² candidate blow-up among null-text docs and a behavior
-    change (round-5 ADVICE)."""
-    hashed = docs.filter(F.col("text").isNotNull()).select(
-        id_col,
-        F.transform(shingle_array(), lambda s: h32(s)).alias("__h"),
+    Values are bit-identical to both earlier forms and the SQL oracle:
+    ``min`` over a multiset equals ``min`` over its distinct set, so
+    skipping the per-row ``array_distinct`` changes nothing; same
+    h32/affine/modulus arithmetic, same NULL-text drop (no shingles →
+    no group → no signature row, round-5 ADVICE semantics).
+
+    ``spread_compute``: parallelism of the signature pass must not be
+    bound by the source file layout (a single-row-group parquet file =
+    one scan task); the narrow (id, text) projection is repartitioned to
+    the session parallelism only when the scan has fewer splits — a
+    structural no-op at corpus scale (see spread.py)."""
+    base = spread_compute(
+        docs.filter(F.col("text").isNotNull()).select(id_col, "text")
     )
-    sigs = [
-        F.array_min(
-            F.transform(
-                F.col("__h"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P),
+    hashed = base.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1))
             )
-        ).alias(f"s{k}")
+        ).alias("__i"),
+        "text",
+    ).select(
+        id_col,
+        h32(F.col("text").substr(F.col("__i"), F.lit(SHINGLE_LEN))).alias("__h"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"s{k}"
+        )
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return hashed.select(id_col, *sigs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def _band_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -599,7 +625,12 @@ def chunk_dedup(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(ws, i * chunk_words + 1, chunk_words), " "),
     )
-    ch = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    # chunk building (transform/slice/array_join lambdas) is interpreted
+    # per element — spread the narrow projection so a single-split scan
+    # doesn't serialize it (no-op on well-split inputs, see spread.py)
+    ch = spread_compute(docs.select("doc_id", text_col)).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
     w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
     ranked = ch.select(
         "doc_id", "chunk_idx", "chunk",
