@@ -52,13 +52,21 @@ from .operators.text_dedup import _band_rows, minhash_signatures
 AUX_NAME = "lsh_bands"
 
 
-def _parquet_rows(root: str, relpaths: list[str]) -> int:
+def _parquet_rows(
+    root: str, relpaths: list[str], failures: list[str] | None = None
+) -> int:
     """Exact row count of parquet files from their FOOTERS — driver-side
     metadata reads, zero Spark jobs (the same precedent as the MOR
     compaction byte threshold). Feeds the index's ``rows_total``
     bookkeeping: the append-only write path leaves one stale row set per
     superseded document version, and total-vs-live is the staleness
-    signal maintenance triggers on."""
+    signal maintenance triggers on.
+
+    Unreadable footers are SKIPPED (undercount). Whether that is
+    conservative depends on the caller's side of the staleness ratio —
+    for the LIVE bound it inflates the stale estimate (round-6 ADVICE
+    low) — so callers that must not act on an undercount pass
+    ``failures`` to learn which paths were skipped."""
     import pyarrow.parquet as pq
 
     total = 0
@@ -66,7 +74,8 @@ def _parquet_rows(root: str, relpaths: list[str]) -> int:
         try:
             total += pq.ParquetFile(os.path.join(root, p)).metadata.num_rows
         except Exception:
-            pass  # unreadable footer: undercount (conservative trigger)
+            if failures is not None:
+                failures.append(p)
     return total
 
 BAND_SCHEMA = T.StructType(
@@ -220,10 +229,18 @@ class LshBandIndex:
                     "doc_id",
                     F.col("__rep").alias("rep"),
                 )
+                # member != rep: an UPDATED batch doc that equals its
+                # oversized existing bucket's min doc_id would otherwise
+                # emit a self star edge — unverifiable by construction,
+                # so failed.count()>0 tripped the whole re-probe pipeline
+                # (panel agg + second verify pass) on every such epoch,
+                # silently defeating the "zero extra jobs on genuine
+                # cliques" property (round-6 ADVICE medium). Output was
+                # always correct; this is purely the cost trigger.
                 star = nb.join(
                     big.select("band_idx", "band_hash", "__rep"),
                     ["band_idx", "band_hash"],
-                ).select(
+                ).filter(F.col(f"n.{id_col}") != F.col("__rep")).select(
                     _bkey().alias("bkey"),
                     F.col(f"n.{id_col}").alias("member"),
                     F.col("__rep").alias("rep"),

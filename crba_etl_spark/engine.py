@@ -410,8 +410,27 @@ class CDCEngine:
         if total <= 0:
             return 0.0
         # data_files() returns absolute paths; os.path.join with an
-        # absolute second arg is a no-op, so the helper is reusable here
-        stored = _parquet_rows(self.table.root, self.table.data_files())
+        # absolute second arg is a no-op, so the helper is reusable here.
+        # An unreadable DATA footer shrinks the live bound — which would
+        # INFLATE the stale estimate and could fire a spurious (CAS-safe
+        # but expensive) auto-rebuild, contradicting the "fires late,
+        # never spuriously" contract (round-6 ADVICE low) — so footer
+        # failures on the stored side disable the trigger for this call.
+        failures: list[str] = []
+        stored = _parquet_rows(
+            self.table.root, self.table.data_files(), failures=failures
+        )
+        if failures:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "index_stale_frac: %d unreadable data footers (e.g. %s); "
+                "returning 0.0 so the auto-rebuild cannot trigger on an "
+                "undercounted live bound",
+                len(failures),
+                failures[0],
+            )
+            return 0.0
         return max(0.0, 1.0 - (N_BANDS * stored) / total)
 
     def compact(

@@ -421,6 +421,13 @@ def apply_delta_epoch(
             snap = table.snapshot()
             if IceliteTable._already_committed(snap, epoch, slice_marker):
                 return _skip_stats(table, snap, epoch, slice_marker, mark_epoch)
+            if table.n_buckets() == n_buckets:
+                # not a rebucket: commit_deltas already exhausted its own
+                # CAS retries for an unrelated conflict — re-bucketing and
+                # fully re-writing the epoch's delta files under the SAME
+                # bucket count cannot help (round-6 ADVICE low); surface
+                # the conflict instead (same check merge_epoch does)
+                raise
             continue
         return stats
     raise CommitConflict(f"epoch {epoch}: delta apply lost 8 rebucket races")

@@ -1,0 +1,164 @@
+"""Round-6 ADVICE closures + round-7 optimization regression tests.
+
+1. medium — LshBandIndex.candidates() star edges filter member != rep:
+   an updated batch doc equal to its oversized existing bucket's min
+   doc_id emitted a SELF star edge that could never verify, tripping the
+   full re-probe pipeline (panel agg + second verify pass) every such
+   epoch — defeating "zero extra jobs on genuine cliques".
+2. low — index_stale_frac returns 0.0 (trigger disabled) when any data
+   footer is unreadable: a skipped footer shrinks the LIVE bound, which
+   INFLATES the stale estimate — the anti-conservative direction for an
+   auto-rebuild trigger documented as "fires late, never spuriously".
+3. low — apply_delta_epoch re-raises CommitConflict when the bucket
+   count is unchanged instead of re-bucketing and fully re-writing the
+   epoch's delta files up to 8 times for a conflict a rewrite cannot fix.
+4. r7 — minhash_signatures' codegen'd explode+agg rewrite is value-
+   identical to the row-local higher-order-function form it replaced.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from crba_etl_spark.band_index import ingest_documents
+from crba_etl_spark.icelite import CommitConflict, IceliteTable
+from crba_etl_spark.operators import text_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+
+
+BOILER = "the quick brown fox jumps over the lazy dog again and again " * 4
+
+
+def test_candidates_star_has_no_self_edges(spark, tmpdir_):
+    """An oversized indexed bucket whose min doc_id is re-ingested in the
+    batch must not produce a member==rep star edge (ADVICE medium): the
+    self edge can never verify, so `failed` would be non-empty on every
+    such epoch and the re-probe pipeline would run for nothing."""
+    existing = _docs(spark, [(f"d{i:02d}", BOILER) for i in range(6)])
+    _table, index = ingest_documents(
+        spark, os.path.join(tmpdir_, "t"), existing
+    )
+    # the batch re-ingests the bucket's min doc_id ("d00") with its
+    # existing text — the exact shape that used to emit a self star edge;
+    # with the fix its star relation is EMPTY (every edge would be
+    # member==rep), so `failed` can never trip the re-probe pipeline
+    batch = _docs(spark, [("d00", BOILER)])
+    pairs, mem, star = index.candidates(
+        spark, batch, max_bucket=3, return_oversized=True
+    )
+    assert star.count() == 0
+    # the pairs relation still executes cleanly (its only match is the
+    # batch doc against its own indexed rows — a self pair callers drop)
+    assert pairs.count() >= 0
+    # a non-rep batch doc still gets its (member, rep) star edge
+    batch2 = _docs(spark, [("zz", BOILER)])
+    _p2, _m2, star2 = index.candidates(
+        spark, batch2, max_bucket=3, return_oversized=True
+    )
+    assert {(r["member"], r["rep"]) for r in star2.collect()} == {("zz", "d00")}
+
+
+def test_stale_frac_unreadable_footer_disables_trigger(spark, tmpdir_):
+    """Corrupting a data file's footer must disable the stale-fraction
+    auto-rebuild trigger (return 0.0), not inflate the estimate
+    (ADVICE low)."""
+    from crba_etl_spark.engine import CDCEngine
+
+    root = os.path.join(tmpdir_, "t")
+    eng = CDCEngine(spark, root, n_buckets=4, lsh_index=True)
+    ev = spark.createDataFrame(
+        [(1, "U", "c1", 0, "user", "hello world text", None)],
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    eng.apply_epoch(ev, 0)
+    assert eng.index_stale_frac() >= 0.0  # intact: computable
+    # corrupt one data file's footer
+    df = eng.table.data_files()
+    assert df
+    with open(df[0], "wb") as f:
+        f.write(b"not parquet")
+    assert eng.index_stale_frac() == 0.0
+
+
+def test_delta_conflict_without_rebucket_reraises(spark, tmpdir_, monkeypatch):
+    """commit_deltas exhausting its CAS retries for a NON-rebucket
+    conflict must escape apply_delta_epoch after one attempt, not
+    trigger up to 8 full re-bucket re-writes of the epoch's files
+    (ADVICE low)."""
+    from crba_etl_spark.operators.merge import apply_delta_epoch
+    from crba_etl_spark.schema import TRANSCRIPT
+
+    root = os.path.join(tmpdir_, "t")
+    table = IceliteTable.create(root, TRANSCRIPT, n_buckets=4)
+    ev = spark.createDataFrame(
+        [(1, "U", "c1", 0, "user", "hello", None)],
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise CommitConflict("CAS exhausted (not a rebucket)")
+
+    monkeypatch.setattr(table, "commit_deltas", boom)
+    with pytest.raises(CommitConflict):
+        apply_delta_epoch(spark, table, ev, epoch=0)
+    assert calls["n"] == 1
+
+
+def test_minhash_signatures_matches_rowlocal_form(spark):
+    """The codegen'd explode+agg signature pipeline (r7) must be
+    value-identical to the row-local transform/array_min form it
+    replaced — min over a multiset == min over its distinct set."""
+    docs = _docs(
+        spark,
+        [
+            ("a", "abcdefghij"),
+            ("b", "abcdefghij"),
+            ("c", "zyxwvutsrq"),
+            ("d", "abc"),  # shorter than one shingle
+            ("e", None),  # dropped: no shingles -> no row
+            ("f", ""),  # empty string still yields one '' shingle
+        ],
+    )
+    new = text_dedup.minhash_signatures(docs)
+
+    def old_form(d):
+        hashed = d.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.transform(
+                text_dedup.shingle_array(), lambda s: text_dedup.h32(s)
+            ).alias("__h"),
+        )
+        sigs = [
+            F.array_min(
+                F.transform(
+                    F.col("__h"),
+                    lambda h: (F.lit(a) * h + F.lit(b))
+                    % F.lit(text_dedup.MINHASH_P),
+                )
+            ).alias(f"s{k}")
+            for k, (a, b) in enumerate(
+                zip(text_dedup.MINHASH_A, text_dedup.MINHASH_B)
+            )
+        ]
+        return hashed.select("doc_id", *sigs)
+
+    old = old_form(docs)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.count() == 5  # null text dropped
