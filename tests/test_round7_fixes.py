@@ -162,3 +162,130 @@ def test_minhash_signatures_matches_rowlocal_form(spark):
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
     assert new.count() == 5  # null text dropped
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+
+
+def test_labels_delta_auto_compaction(spark, tmpdir_):
+    """N small epochs accumulate N labels delta sets; engine.compact()
+    with labels_compact_epochs=N folds them to one WITHOUT an index
+    rebuild, and the resolved labeling is unchanged (round-6 VERDICT #2
+    wiring: read-amplification maintenance independent of
+    rebuild_indexes)."""
+    from crba_etl_spark.band_index import LABELS_AUX
+    from crba_etl_spark.engine import CDCEngine
+
+    root = os.path.join(tmpdir_, "t")
+    eng = CDCEngine(
+        spark,
+        root,
+        n_buckets=4,
+        dedup_labels=True,
+        labels_compact_epochs=3,
+        stale_rebuild_threshold=2.0,  # isolate: no stale-frac rebuild
+    )
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india",
+        "alpha bravo charlie delta echo foxtrot golf hotel indiX",
+        "completely different text with no overlap whatsoever here",
+    ]
+    for k, t in enumerate(texts):
+        eng.apply_epoch(_ev(spark, [(k + 1, "U", f"c{k}", 0, "user", t, None)]), k)
+
+    def tags():
+        ent = eng.table.aux().get(LABELS_AUX, {})
+        return {p.split("/")[2] for p in ent.get("files", [])}
+
+    assert len(tags()) == 3
+    before = {
+        (r["node"], r["label"])
+        for r in eng.dedup_labels.read(spark).collect()
+    }
+    eng.compact()
+    assert len(tags()) == 1
+    after = {
+        (r["node"], r["label"])
+        for r in eng.dedup_labels.read(spark).collect()
+    }
+    assert before == after
+    # below threshold: a further compact leaves the folded set alone
+    eng.compact()
+    assert len(tags()) == 1
+
+
+def test_rebuild_missing_max_bucket_uses_engine_default(
+    spark, tmpdir_, monkeypatch
+):
+    """A pre-round-6 aux entry (no max_bucket key) must rebuild with the
+    engine default cap, not silently flip to None-exact semantics; an
+    EXPLICIT None is preserved (round-6 VERDICT #5)."""
+    import crba_etl_spark.band_index as BI
+    from crba_etl_spark.engine import CDCEngine
+
+    root = os.path.join(tmpdir_, "t")
+    eng = CDCEngine(spark, root, n_buckets=4, dedup_labels=True)
+    eng.apply_epoch(
+        _ev(spark, [(1, "U", "c0", 0, "user", "some text for the index", None)]),
+        0,
+    )
+    # simulate a legacy aux entry: drop the max_bucket key from config
+    snap = eng.table.snapshot()
+    del snap["aux"][BI.LABELS_AUX]["config"]["max_bucket"]
+    name = f"snapshot-{snap['version']:06d}.json"
+    eng.table.io.write_manifest(name, snap)
+
+    captured = {}
+    real = BI.DedupLabels
+
+    class Recording(real):
+        def __init__(self, *a, **k):
+            captured.update(k)
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(BI, "DedupLabels", Recording)
+    # maintenance run from a CLI-style engine with no labels config
+    eng2 = CDCEngine(spark, root, n_buckets=4)
+    eng2.compact(rebuild_indexes=True)
+    assert captured.get("max_bucket") == BI.DEFAULT_MAX_BUCKET
+
+
+def test_reliable_cc_checkpoints_end_to_end(spark, tmpdir_):
+    """Full dedup-labels epoch with reliable_cc_checkpoints=True against
+    a real checkpoint dir: identical labels to the localCheckpoint
+    default, and the durable dir actually received checkpoint files
+    (round-6 VERDICT #6 — prove the durable path isn't bit-rotting
+    while unused locally)."""
+    from crba_etl_spark.engine import CDCEngine
+
+    rows = [
+        (1, "U", "a", 0, "user", "alpha bravo charlie delta echo golf", None),
+        (2, "U", "b", 0, "user", "alpha bravo charlie delta echo golX", None),
+        (3, "U", "c", 0, "user", "totally unrelated content in this row", None),
+    ]
+    out = {}
+    for flag in (False, True):
+        root = os.path.join(tmpdir_, f"t_{flag}")
+        eng = CDCEngine(
+            spark,
+            root,
+            n_buckets=4,
+            dedup_labels=True,
+            reliable_cc_checkpoints=flag,
+        )
+        eng.apply_epoch(_ev(spark, rows), 0)
+        out[flag] = {
+            (r["node"], r["label"])
+            for r in eng.dedup_labels.read(spark).collect()
+        }
+        ckpt = os.path.join(root, "checkpoints", "cc")
+        if flag:
+            assert os.path.isdir(ckpt) and any(os.scandir(ckpt))
+        else:
+            assert not os.path.exists(ckpt)
+    assert out[True] == out[False] and out[True]
