@@ -94,9 +94,17 @@ def test_plan_reads_index_not_corpus(spark, tmpdir_):
     existing, new = _split(spark)
     _table, index = ingest_documents(spark, os.path.join(tmpdir_, "t"), existing)
     plan = index.candidates(spark, new)._jdf.queryExecution().executedPlan().toString()
-    # shingles() marker: transform(sequence(1, ...)) over the text column
-    assert len(re.findall(r"sequence\(1,", plan)) == 1
+    # ONE cached signature relation, scanned once = one shingle subtree
+    # executed (the r7 partition-pruning collect materializes the cache
+    # before plan capture, and a MATERIALIZED InMemoryRelation prints
+    # its definition twice per scan node — so count scan NODES, not
+    # occurrences of the shingle expression string)
+    assert plan.count("InMemoryTableScan") == 1
+    assert len(re.findall(r"sequence\(1,", plan)) >= 1
     assert "index/lsh" in plan
+    # the existing side comes from the index files only: its scan reads
+    # the band columns, never the corpus text (no second shingle pass)
+    assert "ReadSchema: struct<doc_id:string,band_idx:int,band_hash:string>" in plan
 
 
 def test_maintenance_carries_aux_and_expiry_sweeps(spark, tmpdir_):

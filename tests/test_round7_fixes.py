@@ -289,3 +289,84 @@ def test_reliable_cc_checkpoints_end_to_end(spark, tmpdir_):
         else:
             assert not os.path.exists(ckpt)
     assert out[True] == out[False] and out[True]
+
+
+def test_index_partition_pruning(spark, tmpdir_, monkeypatch):
+    """Round-6 VERDICT #1: per-epoch candidate generation reads only the
+    index files in partitions the batch's band hashes hit — O(batch-hit
+    partitions) while the corpus (epoch count) grows — and the pruned
+    result is IDENTICAL to a full-index read. Files from the legacy
+    un-partitioned layout are never pruned."""
+    import crba_etl_spark.band_index as BI
+    from crba_etl_spark.cache import persist_tracked, release_caches
+    from crba_etl_spark.operators.text_dedup import _band_rows, minhash_signatures
+
+    root = os.path.join(tmpdir_, "t")
+    mk = lambda i: f"document number {i} talks about topic {i % 11} at length {i * 37}"
+    table, index = ingest_documents(
+        spark, root, _docs(spark, [(f"a{i:03d}", mk(i)) for i in range(40)]),
+        n_buckets=8,
+    )
+    # one LEGACY epoch written with the pre-r7 flat layout
+    legacy_rows = index.rows_for(
+        _docs(spark, [("leg0", mk(500)), ("leg1", mk(501))]).withColumn(
+            "op", F.lit("U")
+        ),
+        epoch=1,
+    )
+    out = os.path.join(root, "index/lsh/legacy-tag")
+    legacy_rows.repartition(2).write.mode("overwrite").parquet(out)
+    legacy = sorted(
+        f"index/lsh/legacy-tag/{f}"
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    table.set_aux(
+        BI.AUX_NAME, index.files() + legacy, base_files=index.files()
+    )
+    # more partitioned epochs: the corpus grows, the batch does not
+    for e in range(2, 5):
+        ingest_documents(
+            spark,
+            root,
+            _docs(
+                spark,
+                [(f"e{e}{i:03d}", mk(e * 100 + i)) for i in range(30)],
+            ),
+            table=table,
+            epoch=e,
+        )
+    release_caches()
+    allf = index.files()
+    batch = _docs(spark, [("q0", mk(3))])  # near-dup of a003
+    nb = _band_rows(persist_tracked(minhash_signatures(batch)))
+    pruned = index._pruned_files(spark, nb)
+    # strictly fewer files than the whole index, legacy always kept
+    assert set(pruned) < set(allf)
+    assert set(legacy) <= set(pruned)
+    # every pruned-IN partitioned file is in a batch-hit partition
+    hits = {}
+    for f in pruned:
+        p = BI.LshBandIndex._file_part(f)
+        if p:
+            hits.setdefault(p[0], set()).add(p[1])
+    for k, parts in hits.items():
+        # 1 doc -> <= 4 distinct band hashes -> <= 4 hit partitions per K
+        assert len(parts) <= 4, (k, parts)
+    # pruned == unpruned, capped and uncapped
+    for mb in (None, 2):
+        got = {
+            tuple(r)
+            for r in index.candidates(spark, batch, max_bucket=mb).collect()
+        }
+        release_caches()
+        monkeypatch.setattr(
+            BI.LshBandIndex, "_pruned_files", lambda self, s, b: self.files()
+        )
+        full = {
+            tuple(r)
+            for r in index.candidates(spark, batch, max_bucket=mb).collect()
+        }
+        monkeypatch.undo()
+        release_caches()
+        assert got == full and got
