@@ -54,37 +54,80 @@ def main() -> None:
         "lsh_index": {"lsh_index": True},
         "dedup_labels": {"dedup_labels": True, "dedup_max_bucket": 64},
     }
+    # MEASUREMENT acceptance (round-6 VERDICT #3): the official table
+    # must carry the same noise gate the headline bench earned — every
+    # per-config measurement is bracketed by host-noise probes; a
+    # measurement whose pre- OR post-probe exceeds the bar was hit by a
+    # contention wave (an invalid measurement of the engine, not an
+    # unfavorable sample) and is RE-TAKEN (bounded retries), with every
+    # attempt recorded so nothing is silently dropped.
+    noise_max = float(os.environ.get("IDX_NOISE_MAX_RATIO", "1.35"))
+    noise_wait = int(os.environ.get("IDX_NOISE_WAIT_S", "30"))
+    max_retries = int(os.environ.get("IDX_MAX_RETRIES", "2"))
     rates: dict[str, list[float]] = {k: [] for k in configs}
-    probes = []
+    probes: dict[str, list[tuple[float, float]]] = {k: [] for k in configs}
+    rejected: dict[str, list[float]] = {k: [] for k in configs}
+
+    def one_measurement(name: str, kw: dict) -> tuple[float, float, float]:
+        pre, waited = host_noise_ratio(), 0
+        while pre > noise_max and waited < 8 * noise_wait:
+            time.sleep(noise_wait)
+            waited += noise_wait
+            pre = host_noise_ratio()
+        root = os.path.join(base, f"crba_idx_bench_{name}")
+        shutil.rmtree(root, ignore_errors=True)
+        eng = CDCEngine(spark, root, n_buckets=16, mode="mor", **kw)
+        t0 = time.monotonic()
+        n = 0
+        for k in epochs:
+            ev = spark.read.parquet(os.path.join(d, f"epoch={k}"))
+            st = eng.apply_epoch(ev, k)
+            n += st["events_in"]
+        rate = round(n / (time.monotonic() - t0), 1)
+        shutil.rmtree(root, ignore_errors=True)
+        return rate, pre, host_noise_ratio()
+
     for _round in range(ROUNDS):
-        probes.append(host_noise_ratio())
         for name, kw in configs.items():
-            root = os.path.join(base, f"crba_idx_bench_{name}")
-            shutil.rmtree(root, ignore_errors=True)
-            eng = CDCEngine(spark, root, n_buckets=16, mode="mor", **kw)
-            t0 = time.monotonic()
-            n = 0
-            for k in epochs:
-                ev = spark.read.parquet(os.path.join(d, f"epoch={k}"))
-                st = eng.apply_epoch(ev, k)
-                n += st["events_in"]
-            rates[name].append(round(n / (time.monotonic() - t0), 1))
-            shutil.rmtree(root, ignore_errors=True)
+            for _attempt in range(max_retries + 1):
+                rate, pre, post = one_measurement(name, kw)
+                if pre <= noise_max and post <= noise_max:
+                    rates[name].append(rate)
+                    probes[name].append((pre, post))
+                    break
+                rejected[name].append(rate)
+            else:
+                # no quiet attempt: keep the last one, flagged by its probes
+                rates[name].append(rate)
+                probes[name].append((pre, post))
     med = {k: statistics.median(v) for k, v in rates.items()}
+    accepted = {
+        k: all(p <= noise_max and q <= noise_max for p, q in probes[k])
+        for k in configs
+    }
     lines = [
         "# BENCH/INDEX_OVERHEAD — cost of the maintained index artifacts",
         "",
         f"Workload: {EVENTS:,} events x {EPOCHS} epochs (transcript texts,",
-        f"local[8], {ROUNDS} interleaved rounds per config, median reported;",
-        f"host-noise probes per round: {probes}).",
+        f"local[8], {ROUNDS} interleaved rounds per config, median reported.",
+        f"Acceptance gate: pre+post host-noise probes <= {noise_max} per",
+        "measurement, wave-hit measurements re-taken (round-6 VERDICT #3).",
         "",
-        "| engine config | sustained apply events/sec (median) | raw rounds | vs baseline |",
-        "|---|---|---|---|",
+        "| engine config | sustained apply events/sec (median) | raw rounds | probes (pre, post) | accepted | vs baseline |",
+        "|---|---|---|---|---|---|",
     ]
     for k in configs:
         lines.append(
-            f"| {k} | {med[k]:,.0f} | {rates[k]} | "
+            f"| {k} | {med[k]:,.0f} | {rates[k]} | {probes[k]} | "
+            f"{'yes' if accepted[k] else 'NO (wave-hit)'} | "
             f"{med[k] / med['baseline']:.2f}x |"
+        )
+    if any(rejected.values()):
+        lines.append("")
+        lines.append(
+            "Wave-hit measurements re-taken (probe > "
+            f"{noise_max}), reported, never counted: "
+            f"{ {k: v for k, v in rejected.items() if v} }"
         )
     lines += [
         "",
